@@ -1,0 +1,350 @@
+"""Primitive network blocks — flax.linen, NHWC, bf16-compute/fp32-params.
+
+TPU-native rebuild of reference model/blocks.py (288 LoC, PyTorch NCHW):
+  ConvBNAct                <- Conv (blocks.py:22-58) + autopad (:6-19)
+  Bottleneck               <- blocks.py:61-82
+  C2f                      <- blocks.py:85-116
+  SPPF                     <- blocks.py:119-142
+  dfl_expectation          <- DFL (blocks.py:145-157), as an einsum, no conv
+  CBAM                     <- blocks.py:190-223
+  SelfAttention            <- blocks.py:226-254
+  TransformerEncoderBlock  <- blocks.py:257-289 (repaired:真 batched MHA —
+                              the reference feeds batch-first tensors to a
+                              seq-first nn.MultiheadAttention, bug B2)
+  fuse_conv_bn             <- blocks.py:160-187 + base.py:26-33 (repaired:
+                              the reference's fuse() calls a nonexistent
+                              method, bug B1) — here a pure pytree transform.
+
+Layout rationale: NHWC keeps the channel axis last (lane dimension), which
+is the native layout for TPU convolutions; all convs are bias-free + BN +
+SiLU so XLA fuses the elementwise tail into the conv epilogue.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+Dtype = Any
+
+
+def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
+    """'same'-output padding for odd kernels incl. dilation (blocks.py:6-19)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    if p is None:
+        p = k // 2
+    return p
+
+
+class ConvBNAct(nn.Module):
+    """Conv2d(bias=False) + BatchNorm + SiLU (reference Conv, blocks.py:22-58).
+
+    Padding is explicit-symmetric (k//2 each side) rather than XLA 'SAME' so
+    stride-2 feature maps align with the reference's grid — required for
+    checkpoint-importing torch weights without a one-pixel shift.
+    """
+
+    features: int
+    kernel_size: int = 1
+    strides: int = 1
+    groups: int = 1
+    dilation: int = 1
+    act: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        p = autopad(self.kernel_size, None, self.dilation)
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=((p, p), (p, p)),
+            feature_group_count=self.groups,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,  # normalize in fp32; output cast below
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        x = x.astype(self.dtype)
+        if self.act:
+            x = jax.nn.silu(x)
+        return x
+
+
+class Bottleneck(nn.Module):
+    """Two stacked convs with optional residual add (blocks.py:61-82)."""
+
+    features: int
+    shortcut: bool = True
+    groups: int = 1
+    kernels: Tuple[int, int] = (3, 3)
+    expansion: float = 0.5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c_hidden = int(self.features * self.expansion)
+        y = ConvBNAct(c_hidden, self.kernels[0], dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBNAct(
+            self.features, self.kernels[1], groups=self.groups, dtype=self.dtype, name="cv2"
+        )(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            return x + y
+        return y
+
+
+class C2f(nn.Module):
+    """CSP bottleneck, 2-conv variant (blocks.py:85-116).
+
+    1x1 conv -> split halves -> chain n Bottlenecks on the running half ->
+    concat (2 + n) branches -> 1x1 conv.
+    """
+
+    features: int
+    n: int = 1
+    shortcut: bool = False
+    groups: int = 1
+    expansion: float = 0.5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c_hidden = int(self.features * self.expansion)
+        y = ConvBNAct(2 * c_hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        parts = [y[..., :c_hidden], y[..., c_hidden:]]
+        for i in range(self.n):
+            parts.append(
+                Bottleneck(
+                    c_hidden,
+                    shortcut=self.shortcut,
+                    groups=self.groups,
+                    kernels=(3, 3),
+                    expansion=1.0,
+                    dtype=self.dtype,
+                    name=f"m{i}",
+                )(parts[-1], train)
+            )
+        return ConvBNAct(self.features, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(parts, axis=-1), train
+        )
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling, fast variant (blocks.py:119-142)."""
+
+    features: int
+    pool_size: int = 5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c_in = x.shape[-1]
+        y = ConvBNAct(c_in // 2, 1, dtype=self.dtype, name="cv1")(x, train)
+        k = self.pool_size
+        pools = [y]
+        for _ in range(3):
+            pools.append(
+                nn.max_pool(
+                    pools[-1], window_shape=(k, k), strides=(1, 1), padding=((k // 2,) * 2,) * 2
+                )
+            )
+        return ConvBNAct(self.features, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(pools, axis=-1), train
+        )
+
+
+def dfl_expectation(dist_logits: Array, reg_max: int = 16) -> Array:
+    """Distribution-Focal decode: softmax over bins -> expected distance.
+
+    The reference implements this as a frozen 1x1 conv whose weights are
+    arange(ch) (blocks.py:145-157). On TPU a conv for a dot-with-iota is
+    waste; an einsum fuses into the surrounding graph.
+
+    Args:
+      dist_logits: (..., 4, reg_max) raw bin logits per box side.
+    Returns:
+      (..., 4) expected ltrb distances.
+    """
+    probs = jax.nn.softmax(dist_logits.astype(jnp.float32), axis=-1)
+    proj = jnp.arange(reg_max, dtype=jnp.float32)
+    return jnp.einsum("...r,r->...", probs, proj)
+
+
+class CBAM(nn.Module):
+    """Convolutional Block Attention Module (blocks.py:190-223).
+
+    Channel attention: global avg+max pool -> shared bottleneck MLP ->
+    sigmoid gate. Spatial attention: per-pixel channel mean+max -> KxK conv
+    -> sigmoid gate. Both gates are cheap VPU work that XLA fuses around the
+    neighbouring convs.
+    """
+
+    reduction: int = 16
+    kernel_size: int = 7
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c = x.shape[-1]
+        hidden = max(c // self.reduction, 1)
+        mlp_in = nn.Dense(hidden, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")
+        mlp_out = nn.Dense(c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")
+
+        avg = jnp.mean(x, axis=(1, 2))  # (B, C)
+        mx = jnp.max(x, axis=(1, 2))
+        gate_c = jax.nn.sigmoid(
+            mlp_out(jax.nn.relu(mlp_in(avg))) + mlp_out(jax.nn.relu(mlp_in(mx)))
+        )
+        x = x * gate_c[:, None, None, :]
+
+        avg_sp = jnp.mean(x, axis=-1, keepdims=True)
+        max_sp = jnp.max(x, axis=-1, keepdims=True)
+        k = self.kernel_size
+        gate_s = nn.Conv(
+            1,
+            kernel_size=(k, k),
+            padding=((k // 2, k // 2), (k // 2, k // 2)),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="spatial",
+        )(jnp.concatenate([avg_sp, max_sp], axis=-1))
+        return x * jax.nn.sigmoid(gate_s)
+
+
+class SelfAttention(nn.Module):
+    """Non-local self-attention block (blocks.py:226-254).
+
+    q/k at C/8 channels, v at C; softmax over source positions; learnable
+    scalar gamma (init 0) gates the residual. Expressed as batched einsum
+    matmuls that tile directly onto the MXU.
+    """
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        b, h, w, c = x.shape
+        cq = max(c // 8, 1)
+        dense = lambda f, name: nn.Dense(f, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        tokens = x.reshape(b, h * w, c)
+        q = dense(cq, "query")(tokens)  # (B, N, cq)
+        k = dense(cq, "key")(tokens)
+        v = dense(c, "value")(tokens)
+        # scores[b, i, j] = q_i . k_j  — softmax over j (source positions),
+        # matching the reference's softmax(dim=-1) on (B, N_query, N_key).
+        scores = jnp.einsum("bic,bjc->bij", q, k).astype(jnp.float32)
+        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bij,bjc->bic", attn, v)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        out = gamma.astype(self.dtype) * out + tokens
+        return out.reshape(b, h, w, c)
+
+
+def _pick_num_heads(channels: int, requested: int) -> int:
+    """Largest head count <= requested that divides the channel width.
+
+    Repairs the reference 'n'-scale whose 337-channel TEB cannot host 8-head
+    attention (SURVEY.md §2.2)."""
+    for h in range(min(requested, channels), 0, -1):
+        if channels % h == 0:
+            return h
+    return 1
+
+
+class TransformerEncoderBlock(nn.Module):
+    """Pre-LN transformer encoder over spatial tokens (blocks.py:257-289).
+
+    Repairs bug B2: attention runs over the H*W token axis per batch element
+    (the reference's seq-first/batch-first mixup attends across the batch).
+    """
+
+    num_heads: int = 8
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        b, h, w, c = x.shape
+        heads = _pick_num_heads(c, self.num_heads)
+        tokens = x.reshape(b, h * w, c)
+
+        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm1")(tokens)
+        y = y.astype(self.dtype)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=heads,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            deterministic=True,
+            name="attn",
+        )(inputs_q=y, inputs_k=y, inputs_v=y)
+        tokens = tokens + y
+
+        z = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm2")(tokens)
+        z = z.astype(self.dtype)
+        z = nn.Dense(c * self.mlp_ratio, dtype=self.dtype, param_dtype=jnp.float32, name="mlp1")(z)
+        z = jax.nn.gelu(z)
+        z = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="mlp2")(z)
+        tokens = tokens + z
+        return tokens.reshape(b, h, w, c)
+
+
+def fuse_conv_bn(
+    params: dict, batch_stats: dict, eps: float = 1e-5
+) -> Tuple[dict, dict]:
+    """Fold every {conv, bn} ConvBNAct pair — a pure pytree transform.
+
+    Inference-deploy analog of reference fuse_conv/BaseModel.fuse
+    (blocks.py:160-187, base.py:26-33; repairs bug B1, which calls a
+    nonexistent method). The conv kernel absorbs gamma/sqrt(var+eps); the BN
+    collapses to a pure per-channel bias (scale=1, mean=0, var=1-eps), which
+    XLA fuses into the conv epilogue. Tree structure is unchanged, so the
+    same module applies the fused variables.
+
+    Returns (fused_params, fused_batch_stats).
+    """
+
+    def walk(p, s):
+        if not isinstance(p, dict):
+            return p, s
+        new_p, new_s = {}, {} if isinstance(s, dict) else s
+        for key in p:
+            s_val = s.get(key) if isinstance(s, dict) else None
+            if key == "bn" and "conv" in p and isinstance(p[key], dict) and s_val is not None:
+                gamma, beta = p[key]["scale"], p[key]["bias"]
+                mean, var = s_val["mean"], s_val["var"]
+                factor = gamma / jnp.sqrt(var + eps)
+                new_p["conv"] = {"kernel": p["conv"]["kernel"] * factor}
+                new_p["bn"] = {
+                    "scale": jnp.ones_like(gamma),
+                    "bias": beta - mean * factor,
+                }
+                new_s["bn"] = {
+                    "mean": jnp.zeros_like(mean),
+                    "var": jnp.ones_like(var) - eps,
+                }
+            elif key == "conv" and "bn" in p:
+                continue  # handled with its bn partner
+            else:
+                np_, ns_ = walk(p[key], s_val)
+                new_p[key] = np_
+                if isinstance(s, dict) and key in s:
+                    new_s[key] = ns_ if ns_ is not None else s[key]
+        return new_p, new_s
+
+    fused_p, fused_s = walk(params, batch_stats)
+    return fused_p, fused_s

@@ -1,0 +1,85 @@
+"""Attention PAN neck (reference model/neck.py:5-65, with the B3 repair).
+
+Top-down then bottom-up feature fusion where each fusion node is
+TransformerEncoderBlock -> channel-reducing 1x1 ConvBNAct -> CBAM.
+
+The reference constructs each node's TEB at the concatenated channel width
+but its CBAM at the reduced width with nothing in between (bug B3, SURVEY.md
+§2.2) — the inline shape comments (neck.py:19,25,37,49) show the intended
+reduced widths, so this rebuild inserts the missing reducing conv.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from transparent_object_detection_tpu.models.blocks import (
+    CBAM,
+    ConvBNAct,
+    TransformerEncoderBlock,
+)
+
+Array = jax.Array
+
+
+def upsample2x_nearest(x: Array) -> Array:
+    """Nearest-neighbour 2x spatial upsample (reference nn.Upsample, neck.py:17)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class FusionNode(nn.Module):
+    """TEB over concat features -> reduce to out_features -> CBAM."""
+
+    out_features: int
+    num_heads: int = 8
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = TransformerEncoderBlock(num_heads=self.num_heads, dtype=self.dtype, name="teb")(
+            x, train
+        )
+        x = ConvBNAct(self.out_features, 1, dtype=self.dtype, name="reduce")(x, train)
+        return CBAM(dtype=self.dtype, name="cbam")(x, train)
+
+
+class Neck(nn.Module):
+    base_channels: int
+    base_depth: int
+    deep_mul: float
+    num_heads: int = 8
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, feats: Tuple[Array, Array, Array], train: bool = False
+    ) -> Tuple[Array, Array, Array]:
+        p3, p4, p5 = feats  # 4c @ /8, 8c @ /16, 16c*dm @ /32
+        c = self.base_channels
+        c5 = int(c * 16 * self.deep_mul)
+        dt, nh = self.dtype, self.num_heads
+
+        # top-down
+        h1 = FusionNode(c * 8, nh, dt, name="h1")(
+            jnp.concatenate([upsample2x_nearest(p5), p4], axis=-1), train
+        )  # (c5 + 8c) -> 8c @ /16
+        h2 = FusionNode(c * 4, nh, dt, name="h2")(
+            jnp.concatenate([upsample2x_nearest(h1), p3], axis=-1), train
+        )  # (8c + 4c) -> 4c @ /8   == P3 out
+
+        # bottom-up
+        h3 = ConvBNAct(c * 4, 3, strides=2, dtype=dt, name="h3")(h2, train)
+        h4 = FusionNode(c * 8, nh, dt, name="h4")(
+            jnp.concatenate([h3, h1], axis=-1), train
+        )  # (4c + 8c) -> 8c @ /16  == P4 out
+        h5 = ConvBNAct(c * 8, 3, strides=2, dtype=dt, name="h5")(h4, train)
+        h6 = FusionNode(c5, nh, dt, name="h6")(
+            jnp.concatenate([h5, p5], axis=-1), train
+        )  # (8c + c5) -> c5 @ /32  == P5 out
+
+        return h2, h4, h6
