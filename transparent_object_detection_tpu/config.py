@@ -143,7 +143,7 @@ class PredictConfig:
     """Inference knobs (reference predict.py:31-85, callbacks.py:101-104)."""
 
     confidence: float = 0.5
-    nms_iou: float = 0.3
+    nms_iou: float = 0.4  # reference DecodeBox.non_max_suppression default
     max_detections: int = 100
     pre_nms_topk: int = 1024  # candidates kept before on-device NMS
     letterbox_image: bool = True

@@ -1,0 +1,166 @@
+"""End-to-end jitted inference engine.
+
+Replaces the reference's host-bound predict pipeline (predict.py /
+model.py:181-314 / utils/bbox_utils.py:119-182) with one compiled XLA
+program per batch shape:
+
+    device letterbox -> forward -> DFL decode -> batched NMS -> unletterbox
+
+No host round-trip happens between preprocessing and final detections; the
+only transfers are the input batch (H2D) and the fixed-shape detection
+struct (D2H). This is the BASELINE.json north-star path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transparent_object_detection_tpu.config import ModelConfig, PredictConfig
+from transparent_object_detection_tpu.models.detector import FocusModel
+from transparent_object_detection_tpu.ops.geometry import xywh2xyxy
+from transparent_object_detection_tpu.ops.nms import batched_nms
+from transparent_object_detection_tpu.ops.preprocess import letterbox_batch, unletterbox_boxes
+
+Array = jax.Array
+
+
+def detect_step(
+    model: FocusModel,
+    variables: Dict[str, Any],
+    images: Array,
+    image_shapes: Array,
+    input_shape: Tuple[int, int],
+    predict_cfg: PredictConfig,
+) -> Dict[str, Array]:
+    """Pure jittable detection step on already-letterboxed images.
+
+    Args:
+      images: (B, h, w, 3) float32 in [0, 1], h/w == input_shape.
+      image_shapes: (B, 2) original (h, w) per image, for unletterboxing.
+    Returns the batched_nms dict with boxes mapped to original-image pixels.
+    """
+    out = model.apply(variables, images, train=False)
+    decoded = out["decoded"]  # (B, A, 4 + nc), xywh in input pixels
+    boxes = xywh2xyxy(decoded[..., :4])
+    scores = decoded[..., 4:]
+    dets = batched_nms(
+        boxes,
+        scores,
+        conf_thres=predict_cfg.confidence,
+        iou_thres=predict_cfg.nms_iou,
+        max_detections=predict_cfg.max_detections,
+        pre_nms_topk=predict_cfg.pre_nms_topk,
+        mode=predict_cfg.nms_mode,
+        class_agnostic=predict_cfg.class_agnostic,
+    )
+    dets["boxes"] = unletterbox_boxes(
+        dets["boxes"], input_shape, image_shapes, predict_cfg.letterbox_image
+    )
+    return dets
+
+
+class Predictor:
+    """Compiled-batch detector front-end.
+
+    One jit cache entry per (batch, source-hw) shape; reuse a fixed batch
+    size in serving for a single stable executable.
+    """
+
+    def __init__(
+        self,
+        model: FocusModel,
+        variables: Dict[str, Any],
+        model_cfg: ModelConfig,
+        predict_cfg: Optional[PredictConfig] = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.model_cfg = model_cfg
+        self.predict_cfg = predict_cfg or PredictConfig()
+        self._detect = jax.jit(
+            functools.partial(
+                detect_step,
+                model,
+                input_shape=model_cfg.input_shape,
+                predict_cfg=self.predict_cfg,
+            )
+        )
+        self._letterbox_detect = jax.jit(self._letterbox_then_detect)
+
+    def _letterbox_then_detect(self, variables, raw_images, image_shapes):
+        images = letterbox_batch(
+            raw_images.astype(jnp.float32) / 255.0, self.model_cfg.input_shape
+        )
+        return detect_step(
+            self.model,
+            variables,
+            images,
+            image_shapes,
+            self.model_cfg.input_shape,
+            self.predict_cfg,
+        )
+
+    # -- device-side entry points ------------------------------------------
+
+    def detect_letterboxed(self, images: Array, image_shapes: Array) -> Dict[str, Array]:
+        """images already letterboxed to input_shape, float32 [0,1]."""
+        return self._detect(self.variables, images=images, image_shapes=image_shapes)
+
+    def detect_raw_batch(self, raw_images: Array, image_shapes: Array) -> Dict[str, Array]:
+        """Uniform-size uint8 batch; letterboxing runs on device."""
+        return self._letterbox_detect(self.variables, raw_images, image_shapes)
+
+    # -- host conveniences ---------------------------------------------------
+
+    def predict_image(self, image) -> List[Dict[str, Any]]:
+        """Single PIL image -> list of {box, score, class} dicts in original
+        pixel coordinates (reference FOCUS.predict_image, model.py:181-226).
+        """
+        from transparent_object_detection_tpu.utils.image import cvt_color, resize_image
+
+        image = cvt_color(image)
+        iw, ih = image.size
+        h, w = self.model_cfg.input_shape
+        boxed = resize_image(image, (w, h), letterbox_image=self.predict_cfg.letterbox_image)
+        arr = np.asarray(boxed, dtype=np.float32)[None] / 255.0
+        shapes = jnp.asarray([[ih, iw]], dtype=jnp.float32)
+        dets = self.detect_letterboxed(jnp.asarray(arr), shapes)
+        return self.to_host_detections(dets)[0]
+
+    @staticmethod
+    def to_host_detections(dets: Dict[str, Array]) -> List[List[Dict[str, Any]]]:
+        """Fixed-shape device struct -> per-image python lists."""
+        boxes = np.asarray(dets["boxes"])
+        scores = np.asarray(dets["scores"])
+        classes = np.asarray(dets["classes"])
+        valid = np.asarray(dets["valid"])
+        out = []
+        for b in range(boxes.shape[0]):
+            rows = []
+            for i in np.nonzero(valid[b])[0]:
+                rows.append(
+                    {
+                        "box": boxes[b, i].tolist(),  # xyxy, original pixels
+                        "score": float(scores[b, i]),
+                        "class": int(classes[b, i]),
+                    }
+                )
+            out.append(rows)
+        return out
+
+    def class_activation_map(self, images: Array) -> Array:
+        """Max class-probability heatmap per image at stride-8 resolution
+        (reference predict.py 'heatmap' mode capability)."""
+
+        @jax.jit
+        def _heat(variables, x):
+            out = self.model.apply(variables, x, train=False)
+            p3 = out["raw"][0]  # (B, H/8, W/8, 4*reg_max + nc)
+            cls = p3[..., 4 * self.model_cfg.reg_max :]
+            return jax.nn.sigmoid(cls.astype(jnp.float32)).max(axis=-1)
+
+        return _heat(self.variables, images)
