@@ -1,0 +1,220 @@
+"""Data pipeline tests: annotations, augmentation, dataset, loader.
+
+Uses a synthetic 2-image fixture written to tmp_path (the fake-dataset
+strategy from SURVEY.md §4/§7).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from transparent_object_detection_tpu.data import (
+    DataLoader,
+    DetectionDataset,
+    coco_category_remap,
+    coco_to_annotation_lines,
+    collate,
+    parse_annotation_line,
+)
+from transparent_object_detection_tpu.data.augment import (
+    hsv_jitter,
+    letterbox_deterministic,
+    mixup,
+    mosaic4,
+    random_affine,
+)
+
+
+@pytest.fixture(scope="module")
+def fake_dataset(tmp_path_factory):
+    """Two synthetic images with one colored rectangle each + annotations."""
+    root = tmp_path_factory.mktemp("fakeds")
+    lines = []
+    rects = [(20, 30, 80, 90), (10, 10, 50, 60)]
+    sizes = [(160, 120), (100, 140)]  # (w, h)
+    for i, ((x1, y1, x2, y2), (w, h)) in enumerate(zip(rects, sizes)):
+        arr = np.full((h, w, 3), 200, dtype=np.uint8)
+        arr[y1:y2, x1:x2] = (255, 0, 0)
+        p = str(root / f"img{i}.png")
+        Image.fromarray(arr).save(p)
+        lines.append(f"{p} {x1},{y1},{x2},{y2},0")
+    return lines
+
+
+def test_parse_annotation_line(fake_dataset):
+    path, boxes = parse_annotation_line(fake_dataset[0])
+    assert os.path.exists(path)
+    assert boxes.shape == (1, 5)
+    np.testing.assert_allclose(boxes[0], [20, 30, 80, 90, 0])
+
+
+def test_parse_bare_line():
+    path, boxes = parse_annotation_line("/x/y.png")
+    assert boxes.shape == (0, 5)
+
+
+def test_letterbox_deterministic_box_mapping(fake_dataset):
+    from transparent_object_detection_tpu.data.augment import load_rgb
+
+    path, boxes = parse_annotation_line(fake_dataset[0])
+    img = load_rgb(path)
+    canvas, out = letterbox_deterministic(img, boxes, (64, 64))
+    assert canvas.shape == (64, 64, 3)
+    assert len(out) == 1
+    # 160x120 -> scale .4 -> 64x48, dy = 8
+    np.testing.assert_allclose(
+        out[0, :4], [20 * 0.4, 30 * 0.4 + 8, 80 * 0.4, 90 * 0.4 + 8], atol=1.0
+    )
+
+
+def test_random_affine_boxes_in_canvas(fake_dataset, rng):
+    from transparent_object_detection_tpu.data.augment import load_rgb
+
+    path, boxes = parse_annotation_line(fake_dataset[0])
+    img = load_rgb(path)
+    for _ in range(10):
+        canvas, out, _ = random_affine(img, boxes, (96, 96), rng)
+        assert canvas.shape == (96, 96, 3)
+        if len(out):
+            assert np.all(out[:, 0] >= 0) and np.all(out[:, 2] <= 96)
+            assert np.all(out[:, 1] >= 0) and np.all(out[:, 3] <= 96)
+            assert np.all(out[:, 2] > out[:, 0]) and np.all(out[:, 3] > out[:, 1])
+
+
+def test_hsv_jitter_preserves_shape_dtype(rng):
+    img = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    out = hsv_jitter(img, rng)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_mosaic4(fake_dataset, rng):
+    from transparent_object_detection_tpu.data.augment import load_rgb
+
+    imgs, boxes = [], []
+    for line in (fake_dataset * 2)[:4]:
+        p, b = parse_annotation_line(line)
+        imgs.append(load_rgb(p))
+        boxes.append(b)
+    canvas, out = mosaic4(imgs, boxes, (128, 128), rng)
+    assert canvas.shape == (128, 128, 3)
+    if len(out):
+        assert np.all(out[:, 2] > out[:, 0]) and np.all(out[:, 3] > out[:, 1])
+        assert np.all(out[:, :4] >= 0) and np.all(out[:, :4] <= 128)
+
+
+def test_mixup_union():
+    i1 = np.zeros((8, 8, 3), dtype=np.uint8)
+    i2 = np.full((8, 8, 3), 200, dtype=np.uint8)
+    b1 = np.array([[0, 0, 4, 4, 0]], dtype=np.float32)
+    b2 = np.array([[4, 4, 8, 8, 1]], dtype=np.float32)
+    img, boxes = mixup(i1, b1, i2, b2)
+    assert img[0, 0, 0] == 100
+    assert boxes.shape == (2, 5)
+
+
+def test_dataset_fixed_shapes_train_and_eval(fake_dataset):
+    for train in (True, False):
+        ds = DetectionDataset(
+            fake_dataset, input_shape=(64, 64), train=train, max_boxes=16, epoch_length=10
+        )
+        ds.epoch_now = 0
+        s = ds[0]
+        assert s["image"].shape == (64, 64, 3) and s["image"].dtype == np.float32
+        assert s["boxes"].shape == (16, 4)
+        assert s["labels"].shape == (16,)
+        assert 0 <= float(s["image"].max()) <= 1.0
+        n = int(s["num_boxes"])
+        if n:
+            b = s["boxes"][:n]
+            assert np.all(b >= 0) and np.all(b <= 1)
+            assert np.all(b[:, 2] > 0) and np.all(b[:, 3] > 0)
+
+
+def test_dataset_mosaic_phase_out(fake_dataset):
+    ds = DetectionDataset(
+        fake_dataset,
+        input_shape=(64, 64),
+        train=True,
+        mosaic=True,
+        mosaic_prob=1.0,
+        mixup=False,
+        epoch_length=10,
+        special_aug_ratio=0.5,
+        max_boxes=16,
+    )
+    # epoch beyond phase-out: identical to single-image pipeline determinism
+    ds.epoch_now = 9
+    s_late = ds[0]
+    assert int(s_late["num_boxes"]) >= 0  # runs the non-mosaic path
+    ds2 = DetectionDataset(
+        fake_dataset,
+        input_shape=(64, 64),
+        train=True,
+        mosaic=False,
+        mixup=False,
+        epoch_length=10,
+        max_boxes=16,
+    )
+    ds2.epoch_now = 9
+    s_ref = ds2[0]
+    np.testing.assert_array_equal(s_late["image"], s_ref["image"])
+
+
+def test_dataset_reproducible(fake_dataset):
+    ds = DetectionDataset(fake_dataset, input_shape=(64, 64), train=True, max_boxes=16)
+    ds.epoch_now = 3
+    a, b = ds[1], ds[1]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["boxes"], b["boxes"])
+
+
+def test_loader_batches(fake_dataset):
+    ds = DetectionDataset(
+        fake_dataset * 4, input_shape=(64, 64), train=True, max_boxes=16, epoch_length=10
+    )
+    dl = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2)
+    dl.set_epoch(0)
+    batches = list(dl)
+    assert len(batches) == 2
+    for b in batches:
+        assert b["image"].shape == (4, 64, 64, 3)
+        assert b["boxes"].shape == (4, 16, 4)
+        assert b["labels"].shape == (4, 16)
+        assert b["num_boxes"].shape == (4,)
+
+
+def test_loader_sharding(fake_dataset):
+    ds = DetectionDataset(fake_dataset * 8, input_shape=(64, 64), train=False, max_boxes=8)
+    shards = []
+    for sid in range(2):
+        dl = DataLoader(
+            ds, batch_size=2, shuffle=True, num_workers=1, shard_id=sid, num_shards=2, seed=7
+        )
+        dl.set_epoch(1)
+        idx = dl._epoch_indices()
+        shards.append(set(int(i) for i in idx))
+    assert shards[0].isdisjoint(shards[1])
+    assert len(shards[0]) == len(shards[1]) == 8
+
+
+def test_coco_converter(tmp_path):
+    coco = {
+        "images": [
+            {"id": 1, "file_name": "a.jpg"},
+            {"id": 2, "file_name": "b.jpg"},
+        ],
+        "annotations": [
+            {"image_id": 1, "category_id": 7, "bbox": [10, 20, 30, 40], "iscrowd": 0},
+            {"image_id": 1, "category_id": 99, "bbox": [1, 2, 3, 4], "iscrowd": 0},
+            {"image_id": 2, "category_id": 7, "bbox": [5, 5, 10, 10], "iscrowd": 1},
+        ],
+        "categories": [{"id": 7, "name": "x"}, {"id": 99, "name": "y"}],
+    }
+    p = tmp_path / "inst.json"
+    p.write_text(json.dumps(coco))
+    lines = coco_to_annotation_lines(str(p), "/imgs")
+    assert lines[0] == "/imgs/a.jpg 10,20,40,60,0 1,2,4,6,1"
+    assert lines[1] == "/imgs/b.jpg"  # crowd skipped
+    assert coco_category_remap(coco["categories"]) == {7: 0, 99: 1}
