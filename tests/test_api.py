@@ -1,0 +1,120 @@
+"""FOCUS object-API tests (api.py): construction, predict dispatch, fps,
+heatmap, summary, weights roundtrip, export."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from transparent_object_detection_tpu.api import FOCUS
+from transparent_object_detection_tpu.config import SCALE_TABLE, ModelConfig, PredictConfig
+
+
+@pytest.fixture(scope="module")
+def focus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("api")
+    classes = root / "classes.txt"
+    classes.write_text("Transparent\n")
+    # tiny custom model via monkey construction: use phi 'n' but shrink input
+    f = FOCUS.__new__(FOCUS)
+    import jax
+    import jax.numpy as jnp
+
+    from transparent_object_detection_tpu.models import FocusModel
+
+    f.class_names, f.num_classes = ["Transparent"], 1
+    f.model_cfg = ModelConfig(num_classes=1, input_shape=(64, 64), compute_dtype="float32")
+    f.predict_cfg = PredictConfig(confidence=0.01, max_detections=8, pre_nms_topk=64)
+    f.seed = 11
+    f.model = FocusModel(
+        num_classes=1, base_channels=8, base_depth=1, deep_mul=0.5, num_heads=2,
+        dtype=jnp.float32,
+    )
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    f.variables = f.model.init(jax.random.key(0), x, train=True)
+    f._predictor = None
+    return f
+
+
+def test_scale_table_complete():
+    assert set(SCALE_TABLE) == {"n", "s", "m", "l", "x"}
+    assert SCALE_TABLE["s"] == (128, 2, 0.5)
+    assert SCALE_TABLE["x"] == (1024, 5, 1.25)
+
+
+def test_detect_image_and_draw(focus):
+    img = Image.new("RGB", (100, 80), (20, 120, 220))
+    rows, drawn = focus.detect_image(img, draw=True)
+    assert isinstance(rows, list)
+    assert drawn.size == img.size
+
+
+def test_predict_dispatch_image(focus, tmp_path):
+    p = tmp_path / "x.png"
+    Image.new("RGB", (50, 50)).save(p)
+    rows = focus.predict(str(p))
+    assert isinstance(rows, list)
+
+
+def test_predict_dir(focus, tmp_path):
+    din = tmp_path / "in"
+    dout = tmp_path / "out"
+    din.mkdir()
+    for i in range(2):
+        Image.new("RGB", (40, 40), (i * 100, 0, 0)).save(din / f"{i}.png")
+    res = focus.predict_dir(str(din), str(dout))
+    assert len(res) == 2
+    assert len(os.listdir(dout)) == 2
+
+
+def test_get_fps(focus):
+    sec = focus.get_fps(test_interval=3)
+    assert sec > 0
+
+
+def test_heatmap(focus, tmp_path):
+    heat = focus.detect_heatmap(Image.new("RGB", (64, 64)), str(tmp_path / "h.png"))
+    assert heat.shape == (8, 8)
+    assert os.path.exists(tmp_path / "h.png")
+
+
+def test_summary(focus):
+    out = focus.summary()
+    assert out["params"] > 1000
+    assert out["flops"] > 0
+
+
+def test_weights_roundtrip(focus, tmp_path):
+    import jax
+
+    p = focus.save_weights(str(tmp_path / "w"))
+    # perturb then reload
+    orig = focus.variables
+    focus.variables = jax.tree_util.tree_map(lambda x: x * 0, orig)
+    focus.load_weights(p)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        focus.variables["params"],
+        orig["params"],
+    )
+    assert max(jax.tree_util.tree_leaves(d)) == 0.0
+
+
+def test_fuse_preserves_predictions(focus):
+    img = Image.new("RGB", (64, 64), (100, 150, 200))
+    before = focus.detect_image(img)
+    import copy
+
+    fused = copy.copy(focus)
+    fused._predictor = None
+    fused.fuse()
+    after = fused.detect_image(img)
+    assert len(before) == len(after)
+    for b, a in zip(before, after):
+        np.testing.assert_allclose(b["box"], a["box"], atol=0.5)
+        assert b["score"] == pytest.approx(a["score"], abs=1e-3)
+
+
+def test_export_stablehlo(focus, tmp_path):
+    p = focus.export(str(tmp_path / "m.stablehlo"))
+    assert os.path.getsize(p) > 1000
