@@ -1,0 +1,72 @@
+"""Headline benchmark: batch inference throughput at 640x640 on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 2000 imgs/sec/chip (the BASELINE.json target for the
+reference's capability on TPU v5e).
+
+The measured program is the full serving path: forward (phi='s' FOCUS,
+bf16) -> on-device DFL decode -> on-device batched NMS. Input transfer is
+excluded (the batch is resident, as in a steady-state serving loop with
+double-buffered H2D).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from transparent_object_detection_tpu.config import ModelConfig, PredictConfig
+    from transparent_object_detection_tpu.inference import detect_step
+    from transparent_object_detection_tpu.models.detector import build_model, init_variables
+
+    batch = 32
+    cfg = ModelConfig(num_classes=1, phi="s", input_shape=(640, 640),
+                      compute_dtype="bfloat16")
+    pred_cfg = PredictConfig(
+        confidence=0.25, nms_iou=0.5, max_detections=100, pre_nms_topk=256, nms_mode="fast"
+    )
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, seed=0)
+
+    import functools
+
+    step = jax.jit(
+        functools.partial(
+            detect_step, model, input_shape=cfg.input_shape, predict_cfg=pred_cfg
+        )
+    )
+
+    key = jax.random.key(0)
+    images = jax.random.uniform(key, (batch, 640, 640, 3), dtype=jnp.float32)
+    shapes = jnp.tile(jnp.asarray([[640.0, 640.0]], jnp.float32), (batch, 1))
+
+    # warmup / compile
+    out = step(variables, images=images, image_shapes=shapes)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(variables, images=images, image_shapes=shapes)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "imgs/sec/chip 640x640 batch inference (phi=s, bf16, on-device NMS)",
+                "value": round(imgs_per_sec, 2),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(imgs_per_sec / 2000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compilation cache: repeated test runs skip XLA recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tod_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,90 @@
+"""Equivalence tests for the memory-efficient attention implementations."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transparent_object_detection_tpu.ops.attention import (
+    attention,
+    chunked_attention,
+    reference_attention,
+)
+
+
+@pytest.fixture
+def qkv(rng):
+    b, n, dq, dv = 2, 640, 32, 64
+    q = jnp.asarray(rng.normal(size=(b, n, dq)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, dq)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, dv)), jnp.float32)
+    return q, k, v
+
+
+def test_chunked_matches_reference(qkv):
+    q, k, v = qkv
+    ref = reference_attention(q, k, v, scale=0.17)
+    chk = chunked_attention(q, k, v, scale=0.17, block_q=128)
+    np.testing.assert_allclose(np.asarray(chk), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_ragged_n(rng):
+    # N not divisible by block: padding path
+    q = jnp.asarray(rng.normal(size=(1, 100, 16)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 100, 16)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 100, 8)), jnp.float32)
+    ref = reference_attention(q, k, v)
+    chk = chunked_attention(q, k, v, block_q=64)
+    np.testing.assert_allclose(np.asarray(chk), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_differentiable(qkv):
+    q, k, v = qkv
+
+    def f(q):
+        return chunked_attention(q, k, v, block_q=128).sum()
+
+    g = jax.grad(f)(q)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_attention_auto_dispatch(qkv):
+    q, k, v = qkv
+    out = attention(q, k, v)  # CPU backend -> small n -> xla
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_interpreter_matches_reference(rng):
+    """Run the Pallas flash kernel in interpreter mode on CPU."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from transparent_object_detection_tpu.ops import attention as attn_mod
+
+    b, n, dq, dv = 2, 256, 16, 32
+    bq = bk = 128
+    q = jnp.asarray(rng.normal(size=(b, n, dq)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, dq)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, dv)), jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(attn_mod._flash_kernel, scale=0.25),
+        grid=(b, n // bq, n // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, dq), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, bk, dq), lambda bi, qi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, bk, dv), lambda bi, qi, ki: (bi, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dv), lambda bi, qi, ki: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, dv), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
+        ],
+        interpret=True,
+    )(q, k, v)
+    ref = reference_attention(q, k, v, scale=0.25)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)

@@ -68,7 +68,7 @@ def test_sharded_step_matches_single_device():
     mesh = make_mesh()
     state8 = replicate_state(create_train_state(model, variables, tx), mesh)
     step8 = make_train_step(model, tx, lc, tc, donate=False)
-    new8, comps8 = step8(state8, shard_batch(batch, mesh))
+    new8, comps8 = step8(state8, shard_batch(batch, mesh), lr)
 
     assert float(comps1["loss"]) == pytest.approx(float(comps8["loss"]), rel=1e-4)
     d = jax.tree_util.tree_map(

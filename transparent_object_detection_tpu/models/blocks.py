@@ -21,6 +21,7 @@ SiLU so XLA fuses the elementwise tail into the conv epilogue.
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -229,15 +230,20 @@ class CBAM(nn.Module):
 class SelfAttention(nn.Module):
     """Non-local self-attention block (blocks.py:226-254).
 
-    q/k at C/8 channels, v at C; softmax over source positions; learnable
-    scalar gamma (init 0) gates the residual. Expressed as batched einsum
-    matmuls that tile directly onto the MXU.
+    q/k at C/8 channels, v at C; softmax over source positions (unscaled,
+    matching the reference); learnable scalar gamma (init 0) gates the
+    residual. Large token maps route through the memory-efficient streaming
+    attention (ops/attention.py) — the naive N² score matrix at P3
+    (80x80 = 6,400 tokens) would dominate HBM traffic.
     """
 
     dtype: Dtype = jnp.bfloat16
+    attention_impl: Optional[str] = None  # None=auto | xla | chunked | pallas
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        from transparent_object_detection_tpu.ops.attention import attention
+
         b, h, w, c = x.shape
         cq = max(c // 8, 1)
         dense = lambda f, name: nn.Dense(f, dtype=self.dtype, param_dtype=jnp.float32, name=name)
@@ -245,11 +251,10 @@ class SelfAttention(nn.Module):
         q = dense(cq, "query")(tokens)  # (B, N, cq)
         k = dense(cq, "key")(tokens)
         v = dense(c, "value")(tokens)
-        # scores[b, i, j] = q_i . k_j  — softmax over j (source positions),
-        # matching the reference's softmax(dim=-1) on (B, N_query, N_key).
-        scores = jnp.einsum("bic,bjc->bij", q, k).astype(jnp.float32)
-        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bij,bjc->bic", attn, v)
+        impl = self.attention_impl
+        if impl is None and train and h * w > 1024:
+            impl = "chunked"  # differentiable memory-safe path for training
+        out = attention(q, k, v, scale=1.0, impl=impl)
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
         out = gamma.astype(self.dtype) * out + tokens
         return out.reshape(b, h, w, c)
@@ -276,22 +281,32 @@ class TransformerEncoderBlock(nn.Module):
     num_heads: int = 8
     mlp_ratio: int = 4
     dtype: Dtype = jnp.bfloat16
+    attention_impl: Optional[str] = None  # None=auto | xla | chunked | pallas
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        from transparent_object_detection_tpu.ops.attention import attention
+
         b, h, w, c = x.shape
+        n = h * w
         heads = _pick_num_heads(c, self.num_heads)
-        tokens = x.reshape(b, h * w, c)
+        dh = c // heads
+        tokens = x.reshape(b, n, c)
 
         y = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm1")(tokens)
         y = y.astype(self.dtype)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=heads,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            deterministic=True,
-            name="attn",
-        )(inputs_q=y, inputs_k=y, inputs_v=y)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # fold heads into the batch axis for the streaming kernel
+        fold = lambda t: t.reshape(b, n, heads, dh).transpose(0, 2, 1, 3).reshape(
+            b * heads, n, dh
+        )
+        impl = self.attention_impl
+        if impl is None and train and n > 1024:
+            impl = "chunked"
+        o = attention(fold(q), fold(k), fold(v), scale=1.0 / math.sqrt(dh), impl=impl)
+        o = o.reshape(b, heads, n, dh).transpose(0, 2, 1, 3).reshape(b, n, c)
+        y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="attn_out")(o)
         tokens = tokens + y
 
         z = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm2")(tokens)

@@ -1,0 +1,201 @@
+"""Memory-efficient attention for large spatial token maps.
+
+The detector attends over up to 80x80 = 6,400 spatial tokens (SelfAttention
+in dark3, TEB fusion nodes in the neck). A naive softmax(Q Kᵀ) V
+materializes an N² score matrix — at batch 32 that is gigabytes of HBM
+traffic and the single biggest obstacle between this model and
+HBM-bandwidth-limited serving. Two implementations:
+
+  * flash_attention_pallas: a Pallas TPU kernel doing the online-softmax
+    streaming computation in VMEM (never materializing N²). Used on TPU.
+  * chunked_attention: lax.scan over query blocks with online softmax —
+    pure-JAX fallback that is differentiable and runs anywhere (CPU tests),
+    with O(N * block) memory.
+
+Both compute plain scaled (or unscaled) dot-product attention:
+    out[i] = sum_j softmax_j(q_i . k_j * scale) v_j
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+Array = jax.Array
+
+
+def reference_attention(q: Array, k: Array, v: Array, scale: float = 1.0) -> Array:
+    """Naive O(N^2)-memory attention (for tests / tiny maps).
+
+    q: (B, N, Dq), k: (B, N, Dq), v: (B, N, Dv) -> (B, N, Dv).
+    """
+    scores = jnp.einsum("bic,bjc->bij", q, k).astype(jnp.float32) * scale
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bij,bjc->bic", attn.astype(v.dtype), v)
+
+
+def chunked_attention(
+    q: Array, k: Array, v: Array, scale: float = 1.0, block_q: int = 512
+) -> Array:
+    """Online-softmax attention scanning over query blocks.
+
+    Memory is O(block_q * N) instead of O(N^2); XLA fuses each block's
+    matmul + softmax + matmul. Fully differentiable (scan AD).
+    """
+    b, n, dq = q.shape
+    dv = v.shape[-1]
+    block_q = min(block_q, n)
+    pad = (-n) % block_q
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    nb = q.shape[1] // block_q
+    qb = q.reshape(b, nb, block_q, dq).transpose(1, 0, 2, 3)  # (nb, B, bq, dq)
+
+    def body(carry, q_blk):
+        scores = jnp.einsum("bic,bjc->bij", q_blk, k).astype(jnp.float32) * scale
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.einsum("bij,bjc->bic", (p / denom).astype(v.dtype), v)
+        return carry, out
+
+    _, outs = jax.lax.scan(body, None, qb)  # (nb, B, bq, dv)
+    out = outs.transpose(1, 0, 2, 3).reshape(b, nb * block_q, dv)
+    return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float):
+    """One (batch, q-block, kv-block) grid step of streaming attention.
+
+    The kv-block axis is the innermost (sequential) grid dimension: running
+    max / normalizer / accumulator live in VMEM scratch across those steps,
+    and the normalized output is written on the last step. Only one
+    (block_q x block_k) tile of scores ever exists.
+
+    Refs: q (1, bq, dq), k (1, bk, dq), v (1, bk, dv), o (1, bq, dv);
+    scratch: m (bq, 128) f32, l (bq, 128) f32, acc (bq, dv) f32 (m/l use a
+    padded 128-lane minor dim to satisfy TPU tiling).
+    """
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+
+    s = (
+        jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # (bq, bk)
+    m_prev = m_scr[:, 0:1]
+    l_prev = l_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    correction = jnp.exp(m_prev - m_new)
+    l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
+        p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[:, 0:1] = m_new
+    l_scr[:, 0:1] = l_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+
+
+def flash_attention_pallas(
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: float = 1.0,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> Array:
+    """Streaming attention on TPU via Pallas. q/k: (B, N, Dq), v: (B, N, Dv).
+
+    N must be a multiple of the block sizes (the `attention` wrapper falls
+    back to the chunked path otherwise). Grid = (B, N/bq, N/bk) with the kv
+    axis innermost; VMEM holds one q tile, one k tile, one v tile and the
+    fp32 accumulators — ~2 MB at the default blocks, leaving Mosaic room to
+    double-buffer the HBM streams.
+    """
+    b, n, dq = q.shape
+    dv = v.shape[-1]
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+    grid = (b, n // block_q, n // block_k)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dq), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, block_k, dq), lambda bi, qi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda bi, qi, ki: (bi, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dv), lambda bi, qi, ki: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, dv), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
+        ],
+    )(q, k, v)
+
+
+def attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: float = 1.0,
+    impl: Optional[str] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> Array:
+    """Dispatching front-end. impl: None (auto) | 'xla' | 'chunked' | 'pallas'.
+
+    Auto picks pallas on TPU backends, chunked elsewhere; tiny maps
+    (N <= 1024) always take the naive path — the N² matrix is small enough
+    that XLA's fusion wins.
+    """
+    n = q.shape[1]
+    if impl is None:
+        if n <= 1024:
+            impl = "xla"
+        else:
+            impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "chunked"
+    if impl == "xla":
+        return reference_attention(q, k, v, scale)
+    if impl == "chunked":
+        return chunked_attention(q, k, v, scale, block_q)
+    if impl == "pallas":
+        pad = (-n) % max(block_q, block_k)
+        if pad:
+            # pad keys with -inf contribution: zero-pad k/v and mask via a
+            # large negative bias on padded keys is unnecessary here because
+            # padded k rows produce scores of 0*scale... instead pad queries
+            # only and slice; keys padded with zeros WOULD corrupt softmax,
+            # so fall back to chunked when N is ragged.
+            return chunked_attention(q, k, v, scale, block_q)
+        return flash_attention_pallas(q, k, v, scale, block_q, block_k)
+    raise ValueError(f"unknown attention impl {impl!r}")
