@@ -1,0 +1,52 @@
+"""Native preprocessing kernel tests: build, correctness vs the numpy/cv2
+reference paths, and a rough speed sanity check."""
+import numpy as np
+import pytest
+
+from transparent_object_detection_tpu.data import native
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def test_letterbox_matches_python_path(rng):
+    from transparent_object_detection_tpu.data.augment import letterbox_deterministic
+
+    img = rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+    got = native.letterbox_u8(img, (64, 64))
+    want, _ = letterbox_deterministic(img, np.zeros((0, 5)), (64, 64))
+    want = want.astype(np.float32) / 255.0
+    assert got.shape == (64, 64, 3)
+    # interpolation differs (bilinear vs cubic) but padding + geometry match
+    np.testing.assert_allclose(got[0, 0], [128 / 255.0] * 3, atol=1e-6)  # pad rows
+    # content region aligned: mean brightness close
+    assert abs(float(got[8:56].mean()) - float(want[8:56].mean())) < 0.02
+
+
+def test_letterbox_batch(rng):
+    imgs = rng.integers(0, 255, size=(4, 100, 80, 3), dtype=np.uint8)
+    out = native.letterbox_batch_u8(imgs, (64, 64))
+    assert out.shape == (4, 64, 64, 3)
+    single = native.letterbox_u8(imgs[2], (64, 64))
+    np.testing.assert_allclose(out[2], single, atol=1e-6)
+
+
+def test_letterbox_identity_roundtrip(rng):
+    img = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    out = native.letterbox_u8(img, (64, 64))
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-5)
+
+
+def test_hsv_jitter_identity_gains(rng):
+    img = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    out = native.hsv_jitter_u8(img.copy(), 1.0, 1.0, 1.0)
+    # identity gains: only HSV<->RGB roundtrip error remains
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_hsv_jitter_value_gain_brightens():
+    img = np.full((16, 16, 3), 100, dtype=np.uint8)
+    out = native.hsv_jitter_u8(img.copy(), 1.0, 1.0, 1.4)
+    assert out.mean() > 130

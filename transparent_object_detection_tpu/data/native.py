@@ -1,0 +1,118 @@
+"""ctypes bindings for the native preprocessing kernels (native/*.cpp).
+
+Builds the shared library on demand with g++ (no pybind11 dependency) and
+degrades gracefully: `available()` is False when no compiler exists, and the
+pure-numpy/cv2 paths in augment.py remain the behavior-defining fallback.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_ROOT, "native", "fused_preprocess.cpp")
+_OUT = os.path.join(_ROOT, "native", "libfused_preprocess.so")
+
+
+def build_native(force: bool = False) -> Optional[str]:
+    """Compile the native library; returns its path or None on failure."""
+    if os.path.exists(_OUT) and not force:
+        return _OUT
+    if not os.path.exists(_SRC):
+        return None
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "-std=c++17", _SRC, "-o", _OUT,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception:
+        return None
+    return _OUT
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        path = build_native()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
+        u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+        c_int, c_float = ctypes.c_int, ctypes.c_float
+        lib.letterbox_u8_to_f32.argtypes = [
+            u8p, c_int, c_int, f32p, c_int, c_int, c_int, c_int, c_int, c_int, c_float,
+        ]
+        lib.letterbox_batch_u8_to_f32.argtypes = [
+            u8p, c_int, c_int, c_int, f32p, c_int, c_int, c_int, c_int, c_int, c_int,
+            c_float,
+        ]
+        lib.hsv_jitter_u8.argtypes = [u8p, c_int, c_int, c_float, c_float, c_float]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def letterbox_u8(
+    image: np.ndarray, input_shape: Tuple[int, int], fill: float = 128.0 / 255.0
+) -> np.ndarray:
+    """uint8 HWC RGB -> float32 letterboxed (h, w, 3) in [0, 1], one pass."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native preprocessing unavailable")
+    sh, sw = image.shape[:2]
+    h, w = input_shape
+    scale = min(w / sw, h / sh)
+    nw, nh = int(sw * scale), int(sh * scale)
+    dx, dy = (w - nw) // 2, (h - nh) // 2
+    image = np.ascontiguousarray(image)
+    out = np.empty((h, w, 3), dtype=np.float32)
+    lib.letterbox_u8_to_f32(image, sh, sw, out, h, w, nh, nw, dx, dy, fill)
+    return out
+
+
+def letterbox_batch_u8(
+    images: np.ndarray, input_shape: Tuple[int, int], fill: float = 128.0 / 255.0
+) -> np.ndarray:
+    """(N, H, W, 3) uint8 -> (N, h, w, 3) float32, threaded across images."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native preprocessing unavailable")
+    n, sh, sw = images.shape[:3]
+    h, w = input_shape
+    scale = min(w / sw, h / sh)
+    nw, nh = int(sw * scale), int(sh * scale)
+    dx, dy = (w - nw) // 2, (h - nh) // 2
+    images = np.ascontiguousarray(images)
+    out = np.empty((n, h, w, 3), dtype=np.float32)
+    lib.letterbox_batch_u8_to_f32(images, n, sh, sw, out, h, w, nh, nw, dx, dy, fill)
+    return out
+
+
+def hsv_jitter_u8(image: np.ndarray, h_gain: float, s_gain: float, v_gain: float) -> np.ndarray:
+    """In-place HSV jitter on uint8 RGB; returns the same array."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native preprocessing unavailable")
+    image = np.ascontiguousarray(image)
+    lib.hsv_jitter_u8(image, image.shape[0], image.shape[1], h_gain, s_gain, v_gain)
+    return image
