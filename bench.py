@@ -19,6 +19,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from transparent_object_detection_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from transparent_object_detection_tpu.config import ModelConfig, PredictConfig
     from transparent_object_detection_tpu.inference import detect_step
     from transparent_object_detection_tpu.models.detector import build_model, init_variables
@@ -44,15 +48,16 @@ def main() -> None:
     images = jax.random.uniform(key, (batch, 640, 640, 3), dtype=jnp.float32)
     shapes = jnp.tile(jnp.asarray([[640.0, 640.0]], jnp.float32), (batch, 1))
 
-    # warmup / compile
+    # warmup / compile (value fetch forces a full round trip — on tunneled
+    # backends block_until_ready alone can under-report)
     out = step(variables, images=images, image_shapes=shapes)
-    jax.block_until_ready(out)
+    float(out["num_detections"].sum())
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(variables, images=images, image_shapes=shapes)
-    jax.block_until_ready(out)
+    float(out["num_detections"].sum())
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Augmented dataloader throughput (BASELINE.json config 3):
+letterbox + mosaic/mixup at 640x640, batch 32.
+
+Generates a synthetic on-disk dataset, then measures imgs/sec through the
+full DetectionDataset -> DataLoader pipeline (mosaic+mixup on) and the
+native fused letterbox path.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_synthetic(root: str, n: int = 64, size=(480, 640)) -> list:
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(n):
+        arr = rng.integers(0, 255, size=(*size, 3), dtype=np.uint8)
+        p = os.path.join(root, f"s{i}.jpg")
+        Image.fromarray(arr).save(p, quality=85)
+        boxes = []
+        for _ in range(rng.integers(1, 6)):
+            x1, y1 = rng.integers(0, size[1] - 60), rng.integers(0, size[0] - 60)
+            w, h = rng.integers(30, 60, 2)
+            boxes.append(f"{x1},{y1},{x1 + w},{y1 + h},0")
+        lines.append(" ".join([p] + boxes))
+    return lines
+
+
+def main():
+    from transparent_object_detection_tpu.data import DataLoader, DetectionDataset
+    from transparent_object_detection_tpu.data import native
+
+    with tempfile.TemporaryDirectory() as root:
+        lines = make_synthetic(root)
+        ds = DetectionDataset(
+            lines,
+            input_shape=(640, 640),
+            train=True,
+            mosaic=True,
+            mosaic_prob=0.5,
+            mixup=True,
+            mixup_prob=0.5,
+            epoch_length=100,
+            max_boxes=128,
+        )
+        dl = DataLoader(ds, batch_size=32, shuffle=True, num_workers=8)
+        dl.set_epoch(0)
+        # warmup one epoch pass of 2 batches
+        it = iter(dl)
+        next(it)
+        t0 = time.perf_counter()
+        n_imgs = 0
+        for _ in range(4):
+            for batch in dl:
+                n_imgs += batch["image"].shape[0]
+            dl.set_epoch(dl.epoch + 1)
+        dt = time.perf_counter() - t0
+        aug_rate = n_imgs / dt
+
+        # native fused letterbox path (uint8 batch -> float32 canvas)
+        result = {"augmented_imgs_per_sec": round(aug_rate, 1)}
+        if native.available():
+            imgs = np.random.default_rng(1).integers(
+                0, 255, size=(32, 480, 640, 3), dtype=np.uint8
+            )
+            native.letterbox_batch_u8(imgs, (640, 640))
+            t0 = time.perf_counter()
+            for _ in range(10):
+                native.letterbox_batch_u8(imgs, (640, 640))
+            rate = 320 / (time.perf_counter() - t0)
+            result["native_letterbox_imgs_per_sec"] = round(rate, 1)
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -252,3 +252,51 @@ def get_map_from_dirs(
 ) -> Tuple[float, Dict[int, ClassResult]]:
     dets, gts, diffs = read_cartucho_dirs(gt_dir, dr_dir, class_names)
     return voc_map(dets, gts, len(class_names), min_overlap, score_threshold, diffs)
+
+
+def write_results(
+    out_dir: str,
+    mean_ap: float,
+    results: Dict[int, ClassResult],
+    class_names: Sequence[str],
+    min_overlap: float = 0.5,
+    plots: bool = True,
+) -> str:
+    """results.txt + per-class PR / AP / F1-P-R / LAMR artifacts
+    (the reporting surface of utils_map.py:404-721)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "results.txt")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(f"# mAP@{min_overlap}: {mean_ap * 100:.2f}%\n")
+        for c, r in results.items():
+            name = class_names[c] if c < len(class_names) else str(c)
+            f.write(
+                f"{name}: AP={r.ap * 100:.2f}% F1={r.f1:.3f} "
+                f"P={r.prec_at_thresh * 100:.2f}% R={r.rec_at_thresh * 100:.2f}% "
+                f"LAMR={r.lamr:.3f} GT={r.num_gt} Det={r.num_det}\n"
+            )
+    if plots:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt
+
+            for c, r in results.items():
+                if r.num_gt == 0 or len(r.recall) == 0:
+                    continue
+                name = class_names[c] if c < len(class_names) else str(c)
+                plt.figure()
+                plt.plot(r.recall, r.precision, linewidth=2)
+                plt.fill_between(r.recall, r.precision, alpha=0.2)
+                plt.xlabel("Recall")
+                plt.ylabel("Precision")
+                plt.title(f"{name}: AP@{min_overlap}={r.ap * 100:.2f}%")
+                plt.xlim(0, 1)
+                plt.ylim(0, 1.05)
+                plt.grid(True)
+                plt.savefig(os.path.join(out_dir, f"pr_{name}.png"))
+                plt.close("all")
+        except Exception:
+            pass
+    return path

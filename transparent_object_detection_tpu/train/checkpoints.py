@@ -43,6 +43,19 @@ class CheckpointManager:
         )
         return self._ckpt.restore(path)
 
+    def restore_like(self, name_or_path: str, template: Any) -> Any:
+        """Restore a checkpoint into the structure of `template` (orbax
+        serializes namedtuple/optax states as dicts; this re-attaches the
+        original treedef so optimizer state round-trips)."""
+        raw = self.load_tree(name_or_path)
+        t_leaves, treedef = jax.tree_util.tree_flatten(template)
+        r_leaves = jax.tree_util.tree_leaves(raw)
+        if len(r_leaves) != len(t_leaves):
+            raise ValueError(
+                f"checkpoint has {len(r_leaves)} leaves, template {len(t_leaves)}"
+            )
+        return jax.tree_util.tree_unflatten(treedef, r_leaves)
+
     # -- trainer protocol ------------------------------------------------------
 
     def weights_of(self, state) -> Dict[str, Any]:

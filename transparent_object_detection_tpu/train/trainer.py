@@ -217,10 +217,30 @@ class Trainer:
         callbacks: Sequence[Any] = (),
         checkpointer: Optional[Any] = None,
         sharding=None,
+        resume_from: Optional[str] = None,
     ) -> List[Dict[str, float]]:
         tc, mc = self.train_cfg, self.model_cfg
         tx = build_optimizer(tc, self.variables["params"])
         state = create_train_state(self.model, self.variables, tx)
+        if resume_from is not None:
+            # Exact resume: full train state incl. optimizer and EMA counters
+            # (richer than the reference's weights-only Init_Epoch restart,
+            # train.py:81/127/224-239). Set train_cfg.init_epoch to match.
+            if checkpointer is None:
+                raise ValueError("resume_from requires a checkpointer")
+            restored = checkpointer.restore_like(
+                resume_from,
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "ema_params": state.ema_params,
+                    "ema_batch_stats": state.ema_batch_stats,
+                    "ema_updates": state.ema_updates,
+                    "step": state.step,
+                },
+            )
+            state = TrainState(**restored)
 
         frozen_phase = tc.freeze_train and tc.init_epoch < tc.freeze_epoch
         batch_size = tc.freeze_batch_size if frozen_phase else tc.unfreeze_batch_size
