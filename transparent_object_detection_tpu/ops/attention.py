@@ -189,13 +189,22 @@ def attention(
     if impl == "chunked":
         return chunked_attention(q, k, v, scale, block_q)
     if impl == "pallas":
-        pad = (-n) % max(block_q, block_k)
-        if pad:
-            # pad keys with -inf contribution: zero-pad k/v and mask via a
-            # large negative bias on padded keys is unnecessary here because
-            # padded k rows produce scores of 0*scale... instead pad queries
-            # only and slice; keys padded with zeros WOULD corrupt softmax,
-            # so fall back to chunked when N is ragged.
+        bq = _divisor_block(n, block_q)
+        bk = _divisor_block(n, block_k)
+        if bq is None or bk is None:
+            # no MXU-friendly divisor: zero-padding keys would corrupt the
+            # softmax, so take the chunked path for ragged N
             return chunked_attention(q, k, v, scale, block_q)
-        return flash_attention_pallas(q, k, v, scale, block_q, block_k)
+        return flash_attention_pallas(q, k, v, scale, bq, bk)
     raise ValueError(f"unknown attention impl {impl!r}")
+
+
+def _divisor_block(n: int, preferred: int) -> Optional[int]:
+    """Largest block <= preferred that divides n and is sublane-aligned
+    (multiple of 8); None if nothing >= 128 exists. Spatial token counts are
+    h*w of /8-strided maps, so real inputs (1600, 6400, 25600, ...) always
+    have one."""
+    for b in range(min(preferred, n), 127, -8):
+        if n % b == 0:
+            return b
+    return None

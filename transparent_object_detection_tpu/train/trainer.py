@@ -173,9 +173,11 @@ class Trainer:
         train_cfg: TrainConfig,
         model: Optional[FocusModel] = None,
         variables: Optional[Dict[str, Any]] = None,
+        verbose: bool = True,
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
+        self.verbose = verbose
         self.model = model or build_model(model_cfg)
         self.variables = variables or init_variables(self.model, model_cfg, train_cfg.seed)
         self.loss_cfg = loss_config_from(model_cfg, train_cfg)
@@ -300,6 +302,13 @@ class Trainer:
                 "epoch_seconds": time.time() - t0,
             }
             self.history.append(logs)
+            if self.verbose:
+                print(
+                    f"epoch {epoch + 1}/{tc.unfreeze_epoch} "
+                    f"loss={logs['loss']:.4f} val_loss={logs['val_loss']:.4f} "
+                    f"lr={lr:.2e} ({logs['epoch_seconds']:.1f}s, "
+                    f"{n_tr * batch_size / max(logs['epoch_seconds'], 1e-9):.1f} imgs/s)"
+                )
             for cb in callbacks:
                 cb.on_epoch_end(epoch + 1, logs, self, state)
 
