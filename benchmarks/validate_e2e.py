@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""End-to-end correctness validation: overfit a tiny synthetic dataset and
+verify the full loop — augmentation -> jitted train step (TAL loss, EMA) ->
+on-device inference -> NMS -> COCO/VOC mAP — produces real detections.
+
+Passes when mAP@0.5 on the train images exceeds 0.5 after a few hundred
+steps. Runs anywhere (CPU ~minutes, TPU seconds once compiled).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_dataset(root: str, n: int = 16, size: int = 96):
+    """White canvas with one solid red rectangle per image."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    lines = []
+    for i in range(n):
+        arr = np.full((size, size, 3), 255, dtype=np.uint8)
+        w, h = rng.integers(24, 48, 2)
+        x1 = int(rng.integers(0, size - w))
+        y1 = int(rng.integers(0, size - h))
+        arr[y1 : y1 + h, x1 : x1 + w] = (200, 30, 30)
+        p = os.path.join(root, f"e2e_{i}.png")
+        Image.fromarray(arr).save(p)
+        lines.append(f"{p} {x1},{y1},{x1 + w},{y1 + h},0")
+    return lines
+
+
+def main(steps: int = 400):
+    import jax
+    import jax.numpy as jnp
+
+    # honor E2E_PLATFORM even when a sitecustomize imported jax already
+    plat = os.environ.get("E2E_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+    from transparent_object_detection_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from transparent_object_detection_tpu.config import ModelConfig, PredictConfig, TrainConfig
+    from transparent_object_detection_tpu.data import DataLoader, DetectionDataset
+    from transparent_object_detection_tpu.eval.callbacks import EvalCallback
+    from transparent_object_detection_tpu.models import FocusModel
+    from transparent_object_detection_tpu.train.optimizer import build_optimizer
+    from transparent_object_detection_tpu.train.trainer import (
+        create_train_state,
+        loss_config_from,
+        make_train_step,
+    )
+
+    mc = ModelConfig(num_classes=1, input_shape=(96, 96), compute_dtype="float32")
+    tc = TrainConfig(max_boxes=8, optimizer_type="adam", ema=True, weight_decay=0.0)
+    model = FocusModel(
+        num_classes=1, base_channels=16, base_depth=1, deep_mul=0.5, num_heads=4,
+        dtype=jnp.float32,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        lines = make_dataset(root)
+        ds = DetectionDataset(
+            lines, input_shape=(96, 96), train=True, mosaic=False, mixup=False,
+            max_boxes=8, epoch_length=1000,
+        )
+        dl = DataLoader(ds, batch_size=8, shuffle=True, num_workers=2)
+
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 96, 96, 3), jnp.float32), train=True
+        )
+        tx = build_optimizer(tc, variables["params"])
+        state = create_train_state(model, variables, tx)
+        step_fn = make_train_step(model, tx, loss_config_from(mc, tc), tc, donate=False)
+
+        t0 = time.time()
+        it, epoch = 0, 0
+        last = 0.0
+        while it < steps:
+            dl.set_epoch(epoch)
+            for batch in dl:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                state, comps = step_fn(state, jb, jnp.asarray(1e-3, jnp.float32))
+                last = float(comps["loss"])
+                it += 1
+                if it >= steps:
+                    break
+            epoch += 1
+        train_secs = time.time() - t0
+
+        cb = EvalCallback(
+            mc, lines, ["Transparent"], log_dir=root, confidence=0.25, nms_iou=0.5,
+            batch_size=8,
+        )
+        # evaluate with the raw (non-EMA) weights: EMA is still ramping at
+        # a few hundred steps
+        stats = cb.evaluate(
+            model, {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        out = {
+            "steps": steps,
+            "final_loss": round(last, 4),
+            "train_seconds": round(train_secs, 1),
+            "map50": round(stats["AP50"], 4),
+            "voc_map50": round(stats["voc_map"], 4),
+            "coco_ap": round(stats["AP"], 4),
+            "ok": bool(stats["AP50"] > 0.5 or stats["voc_map"] > 0.5),
+        }
+        print(json.dumps(out))
+        return out
+
+
+if __name__ == "__main__":
+    main(int(os.environ.get("E2E_STEPS", "400")))

@@ -202,14 +202,34 @@ class FOCUS:
             return self.predict_video(source, **kwargs)
         raise ValueError(f"unsupported source {source!r}")
 
-    def detect_image(self, image, draw: bool = False):
+    def detect_image(self, image, draw: bool = False, crop: bool = False,
+                     count: bool = False, crop_dir: str = "img_crop"):
         """PIL image (or path) -> detections [{box, score, class}] in original
-        pixels; optionally returns (detections, annotated image)."""
+        pixels; optionally returns (detections, annotated image).
+
+        crop/count mirror the reference detect_image options (predict.py:60-75):
+        crop saves each detection's pixels under crop_dir; count prints
+        per-class detection counts.
+        """
         from PIL import Image
 
         if isinstance(image, str):
             image = Image.open(image)
         rows = self.predictor.predict_image(image)
+        if count:
+            tally: Dict[str, int] = {}
+            for r in rows:
+                name = self.class_names[r["class"]]
+                tally[name] = tally.get(name, 0) + 1
+            print("class counts:", tally or "{}")
+        if crop and rows:
+            os.makedirs(crop_dir, exist_ok=True)
+            rgb = image.convert("RGB")
+            for i, r in enumerate(rows):
+                x1, y1, x2, y2 = (int(max(v, 0)) for v in r["box"])
+                rgb.crop((x1, y1, x2, y2)).save(
+                    os.path.join(crop_dir, f"crop_{i}.png")
+                )
         if draw:
             return rows, self.draw_detections(image, rows)
         return rows

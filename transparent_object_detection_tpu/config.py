@@ -39,6 +39,9 @@ class ModelConfig:
     # channels % 8 != 0 (repairs the reference 'n'-scale, whose 337-channel
     # TEB cannot instantiate 8-head attention; see SURVEY.md §2.2).
     num_heads: int = 8
+    # Rematerialize the neck fusion nodes in the backward pass (training
+    # memory vs FLOPs trade; see models/neck.py).
+    remat: bool = False
 
     @property
     def scale(self) -> Tuple[int, int, float]:

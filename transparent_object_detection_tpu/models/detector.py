@@ -32,6 +32,7 @@ class FocusModel(nn.Module):
     reg_max: int = 16
     strides: Tuple[int, int, int] = (8, 16, 32)
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @property
     def head_filters(self) -> Tuple[int, int, int]:
@@ -55,6 +56,7 @@ class FocusModel(nn.Module):
             self.deep_mul,
             num_heads=self.num_heads,
             dtype=self.dtype,
+            remat=self.remat,
             name="neck",
         )(feats, train)
         raw, decoded = Head(
@@ -82,6 +84,7 @@ def build_model(cfg: ModelConfig) -> FocusModel:
         reg_max=cfg.reg_max,
         strides=cfg.strides,
         dtype=jnp.dtype(cfg.compute_dtype),
+        remat=cfg.remat,
     )
 
 

@@ -54,6 +54,11 @@ class Neck(nn.Module):
     deep_mul: float
     num_heads: int = 8
     dtype: Any = jnp.bfloat16
+    # Rematerialize fusion nodes in the backward pass: the TEBs hold the
+    # largest activations in the network (up to 2048ch x 80x80 tokens); remat
+    # trades ~1/3 extra neck FLOPs for a large HBM saving during training
+    # (the jax.checkpoint lever from the TPU playbook).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -63,22 +68,23 @@ class Neck(nn.Module):
         c = self.base_channels
         c5 = int(c * 16 * self.deep_mul)
         dt, nh = self.dtype, self.num_heads
+        node_cls = nn.remat(FusionNode, static_argnums=(2,)) if self.remat else FusionNode
 
         # top-down
-        h1 = FusionNode(c * 8, nh, dt, name="h1")(
+        h1 = node_cls(c * 8, nh, dt, name="h1")(
             jnp.concatenate([upsample2x_nearest(p5), p4], axis=-1), train
         )  # (c5 + 8c) -> 8c @ /16
-        h2 = FusionNode(c * 4, nh, dt, name="h2")(
+        h2 = node_cls(c * 4, nh, dt, name="h2")(
             jnp.concatenate([upsample2x_nearest(h1), p3], axis=-1), train
         )  # (8c + 4c) -> 4c @ /8   == P3 out
 
         # bottom-up
         h3 = ConvBNAct(c * 4, 3, strides=2, dtype=dt, name="h3")(h2, train)
-        h4 = FusionNode(c * 8, nh, dt, name="h4")(
+        h4 = node_cls(c * 8, nh, dt, name="h4")(
             jnp.concatenate([h3, h1], axis=-1), train
         )  # (4c + 8c) -> 8c @ /16  == P4 out
         h5 = ConvBNAct(c * 8, 3, strides=2, dtype=dt, name="h5")(h4, train)
-        h6 = FusionNode(c5, nh, dt, name="h6")(
+        h6 = node_cls(c5, nh, dt, name="h6")(
             jnp.concatenate([h5, p5], axis=-1), train
         )  # (8c + c5) -> c5 @ /32  == P5 out
 

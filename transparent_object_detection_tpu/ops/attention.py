@@ -44,7 +44,10 @@ def chunked_attention(
     """Online-softmax attention scanning over query blocks.
 
     Memory is O(block_q * N) instead of O(N^2); XLA fuses each block's
-    matmul + softmax + matmul. Fully differentiable (scan AD).
+    matmul + softmax + matmul. The scan body is checkpointed, so reverse-mode
+    AD recomputes each block's scores instead of storing them — training
+    memory stays O(block_q * N) too (the flash-backward recipe, expressed in
+    plain XLA).
     """
     b, n, dq = q.shape
     dv = v.shape[-1]
@@ -55,6 +58,7 @@ def chunked_attention(
     nb = q.shape[1] // block_q
     qb = q.reshape(b, nb, block_q, dq).transpose(1, 0, 2, 3)  # (nb, B, bq, dq)
 
+    @jax.checkpoint
     def body(carry, q_blk):
         scores = jnp.einsum("bic,bjc->bij", q_blk, k).astype(jnp.float32) * scale
         m = jnp.max(scores, axis=-1, keepdims=True)
@@ -169,8 +173,8 @@ def attention(
     v: Array,
     scale: float = 1.0,
     impl: Optional[str] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
 ) -> Array:
     """Dispatching front-end. impl: None (auto) | 'xla' | 'chunked' | 'pallas'.
 
