@@ -297,16 +297,20 @@ class TransformerEncoderBlock(nn.Module):
         y = y.astype(self.dtype)
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        # fold heads into the batch axis for the streaming kernel
-        fold = lambda t: t.reshape(b, n, heads, dh).transpose(0, 2, 1, 3).reshape(
-            b * heads, n, dh
-        )
+        # (B, N, H, Dh): head axis stays where the qkv projection put it —
+        # the multi-head flash kernel grids over heads, so no transpose
+        # materializes in HBM.
+        split_heads = lambda t: t.reshape(b, n, heads, dh)
         impl = self.attention_impl
         if impl is None and train and n > 1024:
             impl = "chunked"
-        o = attention(fold(q), fold(k), fold(v), scale=1.0 / math.sqrt(dh), impl=impl)
-        o = o.reshape(b, heads, n, dh).transpose(0, 2, 1, 3).reshape(b, n, c)
-        y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="attn_out")(o)
+        o = attention(
+            split_heads(q), split_heads(k), split_heads(v),
+            scale=1.0 / math.sqrt(dh), impl=impl,
+        )
+        y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="attn_out")(
+            o.reshape(b, n, c)
+        )
         tokens = tokens + y
 
         z = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm2")(tokens)

@@ -167,6 +167,76 @@ def flash_attention_pallas(
     )(q, k, v)
 
 
+def _mha_flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float):
+    """(batch, head, q-block, kv-block) grid step; refs are (1, bq|bk, 1, d)
+    blocks of (B, N, H, D) arrays — the head axis is a grid dimension, so no
+    transpose ever materializes."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, :, 0, :].astype(jnp.float32)
+    k_blk = k_ref[0, :, 0, :].astype(jnp.float32)
+    v_blk = v_ref[0, :, 0, :].astype(jnp.float32)
+
+    s = (
+        jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    m_prev = m_scr[:, 0:1]
+    l_prev = l_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    correction = jnp.exp(m_prev - m_new)
+    l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
+        p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[:, 0:1] = m_new
+    l_scr[:, 0:1] = l_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0, :, 0, :] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+
+
+def flash_attention_mha(
+    q: Array, k: Array, v: Array, scale: float, block_q: int, block_k: int
+) -> Array:
+    """Multi-head streaming attention on (B, N, H, D) arrays (head-last-2
+    layout straight out of a fused qkv projection — zero transposes)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, h, d = q.shape
+    dv = v.shape[-1]
+    grid = (b, h, n // block_q, n // block_k)
+    return pl.pallas_call(
+        functools.partial(_mha_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 1, d), lambda bi, hi, qi, ki: (bi, qi, hi, 0)),
+            pl.BlockSpec((1, block_k, 1, d), lambda bi, hi, qi, ki: (bi, ki, hi, 0)),
+            pl.BlockSpec((1, block_k, 1, dv), lambda bi, hi, qi, ki: (bi, ki, hi, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, 1, dv), lambda bi, hi, qi, ki: (bi, qi, hi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, h, dv), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
+        ],
+    )(q, k, v)
+
+
 def attention(
     q: Array,
     k: Array,
@@ -178,28 +248,40 @@ def attention(
 ) -> Array:
     """Dispatching front-end. impl: None (auto) | 'xla' | 'chunked' | 'pallas'.
 
-    Auto picks pallas on TPU backends, chunked elsewhere; tiny maps
-    (N <= 1024) always take the naive path — the N² matrix is small enough
-    that XLA's fusion wins.
+    Accepts (B, N, D) single-head or (B, N, H, D) multi-head layouts. Auto
+    picks pallas on TPU backends, chunked elsewhere; tiny maps (N <= 1024)
+    always take the naive path — the N² matrix is small enough that XLA's
+    fusion wins.
     """
+    multihead = q.ndim == 4
     n = q.shape[1]
     if impl is None:
         if n <= 1024:
             impl = "xla"
         else:
             impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "chunked"
+
+    if impl == "pallas":
+        bq = _divisor_block(n, block_q)
+        bk = _divisor_block(n, block_k)
+        if bq is not None and bk is not None:
+            if multihead:
+                return flash_attention_mha(q, k, v, scale, bq, bk)
+            return flash_attention_pallas(q, k, v, scale, bq, bk)
+        impl = "chunked"  # no MXU-friendly divisor: ragged N falls back
+
+    if multihead:
+        # fold heads into batch for the generic paths
+        b, _, h, d = q.shape
+        dv = v.shape[-1]
+        fold = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, n, t.shape[-1])
+        out = attention(fold(q), fold(k), fold(v), scale, impl, block_q, block_k)
+        return out.reshape(b, h, n, dv).transpose(0, 2, 1, 3)
+
     if impl == "xla":
         return reference_attention(q, k, v, scale)
     if impl == "chunked":
         return chunked_attention(q, k, v, scale, block_q)
-    if impl == "pallas":
-        bq = _divisor_block(n, block_q)
-        bk = _divisor_block(n, block_k)
-        if bq is None or bk is None:
-            # no MXU-friendly divisor: zero-padding keys would corrupt the
-            # softmax, so take the chunked path for ragged N
-            return chunked_attention(q, k, v, scale, block_q)
-        return flash_attention_pallas(q, k, v, scale, bq, bk)
     raise ValueError(f"unknown attention impl {impl!r}")
 
 
