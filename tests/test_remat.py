@@ -27,9 +27,10 @@ def test_remat_same_forward_and_grad():
 
     l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(v["params"])
     l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(v["params"])
-    # remat changes fusion/op order -> bit-level drift is expected
+    # remat changes summation order -> fp32 drift, incl. catastrophic
+    # cancellation on near-zero bias grads; compare against the overall
+    # gradient magnitude, not per-leaf.
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
-    d = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-6)), g0, g1
-    )
-    assert max(jax.tree_util.tree_leaves(d)) < 5e-3
+    gmax = max(float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(g0))
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-4 * gmax
