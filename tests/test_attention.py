@@ -91,45 +91,46 @@ def test_pallas_interpreter_matches_reference(rng):
 
 
 def test_multihead_dispatch_matches_folded(rng):
-    """(B, N, H, D) path == folding heads into batch on the reference path."""
+    """Packed (B, N, H*D) multi-head == folding heads into batch."""
     from transparent_object_detection_tpu.ops.attention import attention, reference_attention
 
     b, n, h, d = 2, 256, 4, 16
-    q = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
-    out = attention(q, k, v, scale=0.25)  # auto -> xla via fold
-    fold = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    q = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    out = attention(q, k, v, scale=0.25, num_heads=h)  # auto -> xla via fold
+    fold = lambda t: t.reshape(b, n, h, d).transpose(0, 2, 1, 3).reshape(b * h, n, d)
     ref = reference_attention(fold(q), fold(k), fold(v), scale=0.25)
-    ref = ref.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    ref = ref.reshape(b, h, n, d).transpose(0, 2, 1, 3).reshape(b, n, h * d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
 def test_mha_flash_interpreter_matches_reference(rng):
-    """Run the 4D Pallas kernel in interpreter mode on CPU."""
+    """Run the packed multi-head Pallas kernel in interpreter mode on CPU."""
     import functools
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from transparent_object_detection_tpu.ops import attention as attn_mod
+    from transparent_object_detection_tpu.ops.attention import reference_attention
 
-    b, n, h, d = 1, 256, 2, 16
+    b, n, h, d = 1, 256, 2, 128
     bq = bk = 128
-    q = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, h * d)), jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(attn_mod._mha_flash_kernel, scale=0.3),
         grid=(b, h, n // bq, n // bk),
         in_specs=[
-            pl.BlockSpec((1, bq, 1, d), lambda bi, hi, qi, ki: (bi, qi, hi, 0)),
-            pl.BlockSpec((1, bk, 1, d), lambda bi, hi, qi, ki: (bi, ki, hi, 0)),
-            pl.BlockSpec((1, bk, 1, d), lambda bi, hi, qi, ki: (bi, ki, hi, 0)),
+            pl.BlockSpec((1, bq, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
+            pl.BlockSpec((1, bk, d), lambda bi, hi, qi, ki: (bi, ki, hi)),
+            pl.BlockSpec((1, bk, d), lambda bi, hi, qi, ki: (bi, ki, hi)),
         ],
-        out_specs=pl.BlockSpec((1, bq, 1, d), lambda bi, hi, qi, ki: (bi, qi, hi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n, h, d), q.dtype),
+        out_specs=pl.BlockSpec((1, bq, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
+        out_shape=jax.ShapeDtypeStruct((b, n, h * d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -137,9 +138,8 @@ def test_mha_flash_interpreter_matches_reference(rng):
         ],
         interpret=True,
     )(q, k, v)
-    from transparent_object_detection_tpu.ops.attention import reference_attention
 
-    fold = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    fold = lambda t: t.reshape(b, n, h, d).transpose(0, 2, 1, 3).reshape(b * h, n, d)
     ref = reference_attention(fold(q), fold(k), fold(v), scale=0.3)
-    ref = ref.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    ref = ref.reshape(b, h, n, d).transpose(0, 2, 1, 3).reshape(b, n, h * d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)

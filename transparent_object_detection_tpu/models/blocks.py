@@ -297,20 +297,13 @@ class TransformerEncoderBlock(nn.Module):
         y = y.astype(self.dtype)
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        # (B, N, H, Dh): head axis stays where the qkv projection put it —
-        # the multi-head flash kernel grids over heads, so no transpose
-        # materializes in HBM.
-        split_heads = lambda t: t.reshape(b, n, heads, dh)
+        # heads stay packed in the channel axis; the multi-head flash kernel
+        # grids over them (no HBM transpose when head_dim is 128-aligned)
         impl = self.attention_impl
         if impl is None and train and n > 1024:
             impl = "chunked"
-        o = attention(
-            split_heads(q), split_heads(k), split_heads(v),
-            scale=1.0 / math.sqrt(dh), impl=impl,
-        )
-        y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="attn_out")(
-            o.reshape(b, n, c)
-        )
+        o = attention(q, k, v, scale=1.0 / math.sqrt(dh), impl=impl, num_heads=heads)
+        y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="attn_out")(o)
         tokens = tokens + y
 
         z = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm2")(tokens)

@@ -168,9 +168,10 @@ def flash_attention_pallas(
 
 
 def _mha_flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float):
-    """(batch, head, q-block, kv-block) grid step; refs are (1, bq|bk, 1, d)
-    blocks of (B, N, H, D) arrays — the head axis is a grid dimension, so no
-    transpose ever materializes."""
+    """(batch, head, q-block, kv-block) grid step; refs are (1, bq|bk, dh)
+    channel-sliced blocks of packed (B, N, H*dh) arrays — the head axis is a
+    grid dimension over the channel axis, so no transpose or reshape ever
+    materializes."""
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -180,9 +181,9 @@ def _mha_flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scal
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, :, 0, :].astype(jnp.float32)
-    k_blk = k_ref[0, :, 0, :].astype(jnp.float32)
-    v_blk = v_ref[0, :, 0, :].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
 
     s = (
         jax.lax.dot_general(
@@ -204,35 +205,40 @@ def _mha_flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scal
 
     @pl.when(ki == nk - 1)
     def _finish():
-        o_ref[0, :, 0, :] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
 
 
 def flash_attention_mha(
-    q: Array, k: Array, v: Array, scale: float, block_q: int, block_k: int
+    q: Array, k: Array, v: Array, num_heads: int, scale: float, block_q: int,
+    block_k: int,
 ) -> Array:
-    """Multi-head streaming attention on (B, N, H, D) arrays (head-last-2
-    layout straight out of a fused qkv projection — zero transposes)."""
+    """Multi-head streaming attention on head-packed (B, N, H*dh) arrays —
+    the layout a fused qkv projection produces. Heads are addressed by
+    slicing the channel axis in the BlockSpec index map (grid dim), so the
+    kernel sees contiguous (bq, dh) tiles with zero transposes in HBM.
+
+    dh = C // num_heads must be a multiple of 128 for clean tiling; the
+    `attention` dispatcher falls back otherwise.
+    """
     from jax.experimental.pallas import tpu as pltpu
 
-    b, n, h, d = q.shape
-    dv = v.shape[-1]
-    grid = (b, h, n // block_q, n // block_k)
+    b, n, c = q.shape
+    d = c // num_heads
+    grid = (b, num_heads, n // block_q, n // block_k)
     return pl.pallas_call(
         functools.partial(_mha_flash_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d), lambda bi, hi, qi, ki: (bi, qi, hi, 0)),
-            pl.BlockSpec((1, block_k, 1, d), lambda bi, hi, qi, ki: (bi, ki, hi, 0)),
-            pl.BlockSpec((1, block_k, 1, dv), lambda bi, hi, qi, ki: (bi, ki, hi, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
+            pl.BlockSpec((1, block_k, d), lambda bi, hi, qi, ki: (bi, ki, hi)),
+            pl.BlockSpec((1, block_k, d), lambda bi, hi, qi, ki: (bi, ki, hi)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, 1, dv), lambda bi, hi, qi, ki: (bi, qi, hi, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, n, h, dv), q.dtype),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, dv), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )(q, k, v)
 
@@ -245,38 +251,47 @@ def attention(
     impl: Optional[str] = None,
     block_q: int = 1024,
     block_k: int = 1024,
+    num_heads: int = 1,
 ) -> Array:
     """Dispatching front-end. impl: None (auto) | 'xla' | 'chunked' | 'pallas'.
 
-    Accepts (B, N, D) single-head or (B, N, H, D) multi-head layouts. Auto
-    picks pallas on TPU backends, chunked elsewhere; tiny maps (N <= 1024)
-    always take the naive path — the N² matrix is small enough that XLA's
-    fusion wins.
+    Inputs are (B, N, C); with num_heads > 1, C packs heads contiguously
+    (the fused-qkv layout) and attention runs per head. Auto picks pallas on
+    TPU backends, chunked elsewhere; tiny maps (N <= 1024) always take the
+    naive path — the N² matrix is small enough that XLA's fusion wins.
     """
-    multihead = q.ndim == 4
-    n = q.shape[1]
+    b, n, c = q.shape
     if impl is None:
         if n <= 1024:
             impl = "xla"
         else:
             impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "chunked"
 
+    if num_heads > 1:
+        d = c // num_heads
+        if impl == "pallas":
+            bq = _divisor_block(n, block_q)
+            bk = _divisor_block(n, block_k)
+            if bq is not None and bk is not None and d % 128 == 0:
+                # head axis = grid dim slicing the packed channel axis:
+                # zero transposes in HBM
+                return flash_attention_mha(q, k, v, num_heads, scale, bq, bk)
+        # generic multi-head: fold heads into the batch axis
+        dv = v.shape[-1] // num_heads
+        fold = lambda t, dd: (
+            t.reshape(b, n, num_heads, dd).transpose(0, 2, 1, 3).reshape(
+                b * num_heads, n, dd
+            )
+        )
+        out = attention(fold(q, d), fold(k, d), fold(v, dv), scale, impl, block_q, block_k)
+        return out.reshape(b, num_heads, n, dv).transpose(0, 2, 1, 3).reshape(b, n, -1)
+
     if impl == "pallas":
         bq = _divisor_block(n, block_q)
         bk = _divisor_block(n, block_k)
         if bq is not None and bk is not None:
-            if multihead:
-                return flash_attention_mha(q, k, v, scale, bq, bk)
             return flash_attention_pallas(q, k, v, scale, bq, bk)
         impl = "chunked"  # no MXU-friendly divisor: ragged N falls back
-
-    if multihead:
-        # fold heads into batch for the generic paths
-        b, _, h, d = q.shape
-        dv = v.shape[-1]
-        fold = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, n, t.shape[-1])
-        out = attention(fold(q), fold(k), fold(v), scale, impl, block_q, block_k)
-        return out.reshape(b, h, n, dv).transpose(0, 2, 1, 3)
 
     if impl == "xla":
         return reference_attention(q, k, v, scale)
