@@ -153,7 +153,27 @@ class EvalCallback:
 
     # -- core -------------------------------------------------------------------
 
-    def evaluate(self, model, variables) -> Dict[str, float]:
+    def write_cartucho_dirs(self, dets_all, gts_all, out_root: str) -> None:
+        """Dump detection-results/ and ground-truth/ txt dirs in the Cartucho
+        format the reference writes (callbacks.py:196-207), for external
+        tooling interop."""
+        dr = os.path.join(out_root, "detection-results")
+        gt = os.path.join(out_root, "ground-truth")
+        os.makedirs(dr, exist_ok=True)
+        os.makedirs(gt, exist_ok=True)
+        for i, (det, g) in enumerate(zip(dets_all, gts_all)):
+            with open(os.path.join(dr, f"{i:06d}.txt"), "w") as f:
+                for row in det:
+                    name = self.class_names[int(row[5])]
+                    f.write(f"{name} {row[4]:.6f} {int(row[0])} {int(row[1])} "
+                            f"{int(row[2])} {int(row[3])}\n")
+            with open(os.path.join(gt, f"{i:06d}.txt"), "w") as f:
+                for row in g:
+                    name = self.class_names[int(row[4])]
+                    f.write(f"{name} {int(row[0])} {int(row[1])} {int(row[2])} "
+                            f"{int(row[3])}\n")
+
+    def evaluate(self, model, variables, write_dirs: Optional[str] = None) -> Dict[str, float]:
         """Run batched inference over val_lines and score with COCO + VOC."""
         from transparent_object_detection_tpu.inference import Predictor
         from transparent_object_detection_tpu.utils.image import cvt_color, resize_image
@@ -204,6 +224,8 @@ class EvalCallback:
                 )
                 gts_all.append(gts[i])
 
+        if write_dirs:
+            self.write_cartucho_dirs(dets_all, gts_all, write_dirs)
         nc = len(self.class_names)
         coco = coco_eval(dets_all, gts_all, nc)
         vmap, _ = voc_map(dets_all, gts_all, nc, self.min_overlap)
