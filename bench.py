@@ -27,9 +27,11 @@ def main() -> None:
     from transparent_object_detection_tpu.inference import detect_step
     from transparent_object_detection_tpu.models.detector import build_model, init_variables
 
-    batch = 32
-    cfg = ModelConfig(num_classes=1, phi="s", input_shape=(640, 640),
-                      compute_dtype="bfloat16")
+    import os
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    cfg = ModelConfig(num_classes=1, phi=os.environ.get("BENCH_PHI", "s"),
+                      input_shape=(640, 640), compute_dtype="bfloat16")
     pred_cfg = PredictConfig(
         confidence=0.25, nms_iou=0.5, max_detections=100, pre_nms_topk=256, nms_mode="fast"
     )

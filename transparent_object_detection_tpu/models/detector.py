@@ -44,8 +44,13 @@ class FocusModel(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, images: Array, train: bool = False) -> Dict[str, Any]:
-        """images: (B, H, W, 3) float in [0, 1], H and W divisible by 32."""
+    def __call__(
+        self, images: Array, train: bool = False, decode: bool = True
+    ) -> Dict[str, Any]:
+        """images: (B, H, W, 3) float in [0, 1], H and W divisible by 32.
+
+        decode=False skips the eval-mode DFL decode (e.g. validation-loss
+        passes that only need the raw maps)."""
         x = images.astype(self.dtype)
         feats = Backbone(
             self.base_channels, self.base_depth, self.deep_mul, dtype=self.dtype, name="backbone"
@@ -66,9 +71,9 @@ class FocusModel(nn.Module):
             reg_max=self.reg_max,
             dtype=self.dtype,
             name="head",
-        )(list(feats), train)
+        )(list(feats), train, decode)
         out: Dict[str, Any] = {"raw": tuple(raw)}
-        if not train:
+        if not train and decode:
             out["decoded"] = decoded
         return out
 

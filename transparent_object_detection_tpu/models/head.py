@@ -66,7 +66,7 @@ class Head(nn.Module):
 
     @nn.compact
     def __call__(
-        self, feats: Sequence[Array], train: bool = False
+        self, feats: Sequence[Array], train: bool = False, decode: bool = True
     ) -> Tuple[List[Array], Array]:
         c1 = max(self.filters[0], self.num_classes)
         c2 = max(self.filters[0] // 4, self.reg_max * 4)
@@ -85,7 +85,7 @@ class Head(nn.Module):
             )(x, train)
             raw.append(jnp.concatenate([box, cls], axis=-1))  # (B, H, W, 4*reg_max + nc)
 
-        if train:
+        if train or not decode:
             return raw, jnp.zeros((), dtype=jnp.float32)
         return raw, self.decode(raw)
 

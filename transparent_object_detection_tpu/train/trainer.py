@@ -157,7 +157,10 @@ def make_eval_step(
     def step(state: TrainState, batch: Dict[str, Array]):
         params = state.ema_params if use_ema else state.params
         bs = state.ema_batch_stats if use_ema else state.batch_stats
-        out = model.apply({"params": params, "batch_stats": bs}, batch["image"], train=False)
+        out = model.apply(
+            {"params": params, "batch_stats": bs}, batch["image"], train=False,
+            decode=False,
+        )
         _, comps = detection_loss(out["raw"], batch["boxes"], batch["labels"], loss_cfg)
         return comps
 
