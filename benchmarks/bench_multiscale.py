@@ -40,6 +40,10 @@ def main():
     mesh = make_mesh()
     n_dev = mesh.shape["data"]
     batch = per_chip * n_dev
+    if n_dev > 1:
+        from transparent_object_detection_tpu.ops.attention import set_attention_mesh
+
+        set_attention_mesh(mesh)
 
     cfg = ModelConfig(num_classes=1, phi=phi, input_shape=(1280, 1280))
     model = build_model(cfg)

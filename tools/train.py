@@ -145,10 +145,12 @@ def main():
     if args.data_parallel:
         import jax
 
+        from transparent_object_detection_tpu.ops.attention import set_attention_mesh
         from transparent_object_detection_tpu.parallel import batch_sharding, make_mesh
 
         mesh = make_mesh()
         sharding = batch_sharding(mesh)
+        set_attention_mesh(mesh)  # keep flash kernels on the streaming path
         print(f"data-parallel over {mesh.shape['data']} devices")
 
     callbacks = [

@@ -27,6 +27,36 @@ from jax.experimental import pallas as pl
 
 Array = jax.Array
 
+# Mesh registered for SPMD execution: GSPMD cannot auto-partition a
+# pallas_call, so when a mesh is set the flash kernels are wrapped in
+# shard_map over the data axis (attention is embarrassingly parallel in the
+# batch dim). Set via set_attention_mesh() before building sharded programs.
+_SHARD_MESH = None
+_SHARD_AXIS = "data"
+
+
+def set_attention_mesh(mesh, axis_name: str = "data") -> None:
+    """Register (or clear, with None) the mesh used to shard flash-attention
+    kernels across chips."""
+    global _SHARD_MESH, _SHARD_AXIS
+    _SHARD_MESH = mesh
+    _SHARD_AXIS = axis_name
+
+
+def _maybe_shard_map(fn):
+    """Wrap a (q, k, v) -> out kernel launcher in shard_map over the batch
+    axis when a mesh is registered."""
+    if _SHARD_MESH is None:
+        return fn
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(_SHARD_AXIS)
+    return shard_map(
+        fn, mesh=_SHARD_MESH, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False,
+    )
+
 
 def reference_attention(q: Array, k: Array, v: Array, scale: float = 1.0) -> Array:
     """Naive O(N^2)-memory attention (for tests / tiny maps).
@@ -275,7 +305,12 @@ def attention(
             if bq is not None and bk is not None and d % 128 == 0:
                 # head axis = grid dim slicing the packed channel axis:
                 # zero transposes in HBM
-                return flash_attention_mha(q, k, v, num_heads, scale, bq, bk)
+                launch = _maybe_shard_map(
+                    lambda qq, kk, vv: flash_attention_mha(
+                        qq, kk, vv, num_heads, scale, bq, bk
+                    )
+                )
+                return launch(q, k, v)
         # generic multi-head: fold heads into the batch axis
         dv = v.shape[-1] // num_heads
         fold = lambda t, dd: (
@@ -290,7 +325,10 @@ def attention(
         bq = _divisor_block(n, block_q)
         bk = _divisor_block(n, block_k)
         if bq is not None and bk is not None:
-            return flash_attention_pallas(q, k, v, scale, bq, bk)
+            launch = _maybe_shard_map(
+                lambda qq, kk, vv: flash_attention_pallas(qq, kk, vv, scale, bq, bk)
+            )
+            return launch(q, k, v)
         impl = "chunked"  # no MXU-friendly divisor: ragged N falls back
 
     if impl == "xla":
