@@ -194,6 +194,11 @@ def flash_attention_pallas(
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, dv), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # batch/q-block programs are independent; only the kv axis
+            # carries state — lets Mosaic pipeline across parallel dims
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
     )(q, k, v)
 
 
@@ -270,6 +275,9 @@ def flash_attention_mha(
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
     )(q, k, v)
 
 
