@@ -118,3 +118,32 @@ def test_fuse_preserves_predictions(focus):
 def test_export_stablehlo(focus, tmp_path):
     p = focus.export(str(tmp_path / "m.stablehlo"))
     assert os.path.getsize(p) > 1000
+
+
+def test_focus_train_and_evaluate(focus, tmp_path):
+    """FOCUS.train end-to-end on the tiny model + standalone evaluate."""
+    from transparent_object_detection_tpu.config import TrainConfig
+
+    rng = np.random.default_rng(5)
+    lines = []
+    for i in range(4):
+        arr = np.full((80, 80, 3), 230, dtype=np.uint8)
+        arr[20:60, 25:65] = (200, 40, 40)
+        p = str(tmp_path / f"tr{i}.png")
+        Image.fromarray(arr).save(p)
+        lines.append(f"{p} 25,20,65,60,0")
+
+    tc = TrainConfig(
+        init_epoch=0, freeze_epoch=0, unfreeze_epoch=1, freeze_train=False,
+        freeze_batch_size=2, unfreeze_batch_size=2, optimizer_type="adam",
+        mosaic=False, mixup=False, max_boxes=8, num_workers=1,
+        save_dir=str(tmp_path / "logs"), eval_period=100, eval_flag=False,
+    )
+    hist = focus.train(
+        train_lines=lines, val_lines=lines, train_cfg=tc,
+        save_dir=str(tmp_path / "logs"),
+    )
+    assert len(hist) == 1 and np.isfinite(hist[0]["loss"])
+
+    stats = focus.evaluate(lines, batch_size=2)
+    assert "AP50" in stats and "voc_map" in stats
