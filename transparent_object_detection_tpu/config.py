@@ -8,8 +8,8 @@ dataclasses with one canonical scale table, loadable from YAML/dict.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
 
 # Canonical model-scale table, (base_channels, base_depth, deep_mul), from
 # the reference phi table (model.py:63-72). This is the single source of

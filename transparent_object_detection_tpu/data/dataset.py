@@ -14,7 +14,7 @@ RNG is explicit: sample i at epoch e under seed s is reproducible.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

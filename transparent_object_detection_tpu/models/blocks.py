@@ -22,7 +22,7 @@ SiLU so XLA fuses the elementwise tail into the conv epilogue.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

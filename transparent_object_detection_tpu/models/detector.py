@@ -7,7 +7,7 @@ head maps for the loss; eval mode also returns the on-device decoded
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

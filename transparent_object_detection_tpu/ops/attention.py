@@ -18,7 +18,6 @@ Both compute plain scaled (or unscaled) dot-product attention:
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax

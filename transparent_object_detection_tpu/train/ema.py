@@ -10,7 +10,7 @@ step as two extra pytrees in the train state.
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

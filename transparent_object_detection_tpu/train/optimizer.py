@@ -14,7 +14,7 @@ state keeps a stable structure across the freeze -> unfreeze transition.
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import optax

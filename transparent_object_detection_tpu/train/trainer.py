@@ -19,9 +19,8 @@ utils/train_step.py:8-131) as a functional JAX program:
 """
 from __future__ import annotations
 
-import os
 import time
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import flax.struct
 import jax
@@ -29,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from transparent_object_detection_tpu.config import ModelConfig, PredictConfig, TrainConfig
+from transparent_object_detection_tpu.config import ModelConfig, TrainConfig
 from transparent_object_detection_tpu.data.dataset import DetectionDataset
 from transparent_object_detection_tpu.data.loader import DataLoader, device_prefetch
 from transparent_object_detection_tpu.models.detector import FocusModel, build_model, init_variables

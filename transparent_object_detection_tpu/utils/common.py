@@ -1,9 +1,8 @@
 """Shared utility belt (reference: utils/utils.py:9-77)."""
 from __future__ import annotations
 
-import os
 import random
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict
 
 
 def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 2, **kwargs) -> float:
