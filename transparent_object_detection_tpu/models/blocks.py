@@ -251,10 +251,9 @@ class SelfAttention(nn.Module):
         q = dense(cq, "query")(tokens)  # (B, N, cq)
         k = dense(cq, "key")(tokens)
         v = dense(c, "value")(tokens)
-        impl = self.attention_impl
-        if impl is None and train and h * w > 1024:
-            impl = "chunked"  # differentiable memory-safe path for training
-        out = attention(q, k, v, scale=1.0, impl=impl)
+        # auto dispatch: the flash path is differentiable (custom VJP with
+        # flash-style recomputed backward), so training uses it too
+        out = attention(q, k, v, scale=1.0, impl=self.attention_impl)
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
         out = gamma.astype(self.dtype) * out + tokens
         return out.reshape(b, h, w, c)
@@ -299,10 +298,10 @@ class TransformerEncoderBlock(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         # heads stay packed in the channel axis; the multi-head flash kernel
         # grids over them (no HBM transpose when head_dim is 128-aligned)
-        impl = self.attention_impl
-        if impl is None and train and n > 1024:
-            impl = "chunked"
-        o = attention(q, k, v, scale=1.0 / math.sqrt(dh), impl=impl, num_heads=heads)
+        o = attention(
+            q, k, v, scale=1.0 / math.sqrt(dh), impl=self.attention_impl,
+            num_heads=heads,
+        )
         y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="attn_out")(o)
         tokens = tokens + y
 

@@ -280,6 +280,44 @@ def flash_attention_mha(
     )(q, k, v)
 
 
+@functools.lru_cache(maxsize=64)
+def _diff_flash(scale: float, bq: int, bk: int, num_heads: int):
+    """Differentiable flash attention: Pallas forward, flash-style backward
+    (recompute via the checkpointed chunked formulation under jax.vjp —
+    O(block*N) memory, all-XLA matmuls). Cached per static config."""
+
+    @jax.custom_vjp
+    def fn(q, k, v):
+        if num_heads > 1:
+            return flash_attention_mha(q, k, v, num_heads, scale, bq, bk)
+        return flash_attention_pallas(q, k, v, scale, bq, bk)
+
+    def ref(q, k, v):
+        if num_heads > 1:
+            b, n, c = q.shape
+            d = c // num_heads
+            dv = v.shape[-1] // num_heads
+            fold = lambda t, dd: (
+                t.reshape(b, n, num_heads, dd).transpose(0, 2, 1, 3).reshape(
+                    b * num_heads, n, dd
+                )
+            )
+            out = chunked_attention(fold(q, d), fold(k, d), fold(v, dv), scale)
+            return out.reshape(b, num_heads, n, dv).transpose(0, 2, 1, 3).reshape(b, n, -1)
+        return chunked_attention(q, k, v, scale)
+
+    def fwd(q, k, v):
+        return fn(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        q, k, v = res
+        _, vjp = jax.vjp(ref, q, k, v)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def attention(
     q: Array,
     k: Array,
@@ -311,12 +349,8 @@ def attention(
             bk = _divisor_block(n, block_k)
             if bq is not None and bk is not None and d % 128 == 0:
                 # head axis = grid dim slicing the packed channel axis:
-                # zero transposes in HBM
-                launch = _maybe_shard_map(
-                    lambda qq, kk, vv: flash_attention_mha(
-                        qq, kk, vv, num_heads, scale, bq, bk
-                    )
-                )
+                # zero transposes in HBM; differentiable via custom VJP
+                launch = _maybe_shard_map(_diff_flash(scale, bq, bk, num_heads))
                 return launch(q, k, v)
         # generic multi-head: fold heads into the batch axis
         dv = v.shape[-1] // num_heads
@@ -332,9 +366,7 @@ def attention(
         bq = _divisor_block(n, block_q)
         bk = _divisor_block(n, block_k)
         if bq is not None and bk is not None:
-            launch = _maybe_shard_map(
-                lambda qq, kk, vv: flash_attention_pallas(qq, kk, vv, scale, bq, bk)
-            )
+            launch = _maybe_shard_map(_diff_flash(scale, bq, bk, 1))
             return launch(q, k, v)
         impl = "chunked"  # no MXU-friendly divisor: ragged N falls back
 
