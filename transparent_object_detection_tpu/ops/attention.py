@@ -282,9 +282,15 @@ def flash_attention_mha(
 
 @functools.lru_cache(maxsize=64)
 def _diff_flash(scale: float, bq: int, bk: int, num_heads: int):
-    """Differentiable flash attention: Pallas forward, flash-style backward
-    (recompute via the checkpointed chunked formulation under jax.vjp —
-    O(block*N) memory, all-XLA matmuls). Cached per static config."""
+    """Differentiable flash attention: Pallas forward (saving the per-query
+    logsumexp) and Pallas flash backward (dq / dk / dv kernels recomputing
+    score tiles in VMEM — see ops/attention_vjp.py). Cached per static
+    config."""
+    from transparent_object_detection_tpu.ops.attention_vjp import (
+        compute_dcap,
+        flash_bwd,
+        flash_fwd_lse,
+    )
 
     @jax.custom_vjp
     def fn(q, k, v):
@@ -292,27 +298,14 @@ def _diff_flash(scale: float, bq: int, bk: int, num_heads: int):
             return flash_attention_mha(q, k, v, num_heads, scale, bq, bk)
         return flash_attention_pallas(q, k, v, scale, bq, bk)
 
-    def ref(q, k, v):
-        if num_heads > 1:
-            b, n, c = q.shape
-            d = c // num_heads
-            dv = v.shape[-1] // num_heads
-            fold = lambda t, dd: (
-                t.reshape(b, n, num_heads, dd).transpose(0, 2, 1, 3).reshape(
-                    b * num_heads, n, dd
-                )
-            )
-            out = chunked_attention(fold(q, d), fold(k, d), fold(v, dv), scale)
-            return out.reshape(b, num_heads, n, dv).transpose(0, 2, 1, 3).reshape(b, n, -1)
-        return chunked_attention(q, k, v, scale)
-
     def fwd(q, k, v):
-        return fn(q, k, v), (q, k, v)
+        out, lse = flash_fwd_lse(q, k, v, scale, bq, bk, num_heads)
+        return out, (q, k, v, out, lse)
 
     def bwd(res, g):
-        q, k, v = res
-        _, vjp = jax.vjp(ref, q, k, v)
-        return vjp(g)
+        q, k, v, out, lse = res
+        dcap = compute_dcap(out, g, num_heads)
+        return flash_bwd(q, k, v, g, lse, dcap, scale, bq, bk, num_heads)
 
     fn.defvjp(fwd, bwd)
     return fn
