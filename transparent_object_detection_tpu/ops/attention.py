@@ -305,7 +305,12 @@ def _diff_flash(scale: float, bq: int, bk: int, num_heads: int):
     def bwd(res, g):
         q, k, v, out, lse = res
         dcap = compute_dcap(out, g, num_heads)
-        return flash_bwd(q, k, v, g, lse, dcap, scale, bq, bk, num_heads)
+        # backward keeps more live tiles (q, k, v, dO + two fp32 accumulators
+        # + score/grad temporaries) — use smaller blocks to fit VMEM
+        n = q.shape[1]
+        bq2 = _divisor_block(n, min(bq, 400)) or bq
+        bk2 = _divisor_block(n, min(bk, 400)) or bk
+        return flash_bwd(q, k, v, g, lse, dcap, scale, bq2, bk2, num_heads)
 
     fn.defvjp(fwd, bwd)
     return fn
