@@ -340,6 +340,12 @@ def attention(
         else:
             impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "chunked"
 
+    # larger kv blocks amortize per-program overhead; bounded by the fp32
+    # score tile (bq x bk) and the double-buffered v block in VMEM
+    dv_head = (v.shape[-1] // num_heads) if num_heads > 1 else v.shape[-1]
+    if block_k == 1024 and dv_head <= 256:
+        block_k = 2048
+
     if num_heads > 1:
         d = c // num_heads
         if impl == "pallas":
