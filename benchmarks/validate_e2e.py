@@ -19,7 +19,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_dataset(root: str, n: int = 16, size: int = 96):
+def make_dataset(root: str, n: int = 16, size: int = 96):  # noqa: D401
     """White canvas with one solid red rectangle per image."""
     from PIL import Image
 
@@ -27,7 +27,8 @@ def make_dataset(root: str, n: int = 16, size: int = 96):
     lines = []
     for i in range(n):
         arr = np.full((size, size, 3), 255, dtype=np.uint8)
-        w, h = rng.integers(24, 48, 2)
+        lo, hi = max(size // 4, 8), max(size // 2, 16)
+        w, h = rng.integers(lo, hi, 2)
         x1 = int(rng.integers(0, size - w))
         y1 = int(rng.integers(0, size - h))
         arr[y1 : y1 + h, x1 : x1 + w] = (200, 30, 30)
@@ -37,7 +38,7 @@ def make_dataset(root: str, n: int = 16, size: int = 96):
     return lines
 
 
-def main(steps: int = 400):
+def main(steps: int = 400, size: int = None):
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +62,8 @@ def main(steps: int = 400):
         make_train_step,
     )
 
-    mc = ModelConfig(num_classes=1, input_shape=(96, 96), compute_dtype="float32")
+    size = size or int(os.environ.get("E2E_SIZE", "96"))
+    mc = ModelConfig(num_classes=1, input_shape=(size, size), compute_dtype="float32")
     tc = TrainConfig(max_boxes=8, optimizer_type="adam", ema=True, weight_decay=0.0)
     model = FocusModel(
         num_classes=1, base_channels=16, base_depth=1, deep_mul=0.5, num_heads=4,
@@ -69,15 +71,15 @@ def main(steps: int = 400):
     )
 
     with tempfile.TemporaryDirectory() as root:
-        lines = make_dataset(root)
+        lines = make_dataset(root, size=size)
         ds = DetectionDataset(
-            lines, input_shape=(96, 96), train=True, mosaic=False, mixup=False,
+            lines, input_shape=(size, size), train=True, mosaic=False, mixup=False,
             max_boxes=8, epoch_length=1000,
         )
         dl = DataLoader(ds, batch_size=8, shuffle=True, num_workers=2)
 
         variables = model.init(
-            jax.random.key(0), jnp.zeros((1, 96, 96, 3), jnp.float32), train=True
+            jax.random.key(0), jnp.zeros((1, size, size, 3), jnp.float32), train=True
         )
         tx = build_optimizer(tc, variables["params"])
         state = create_train_state(model, variables, tx)
