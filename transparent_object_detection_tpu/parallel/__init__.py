@@ -12,3 +12,9 @@ from transparent_object_detection_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from transparent_object_detection_tpu.parallel.tp import (  # noqa: F401
+    MODEL_AXIS,
+    make_2d_mesh,
+    shard_params_tp,
+    tp_shardings,
+)
