@@ -110,3 +110,23 @@ def test_predict_video(tmp_path):
     fps = f.predict_video(src, out, max_frames=3)
     assert fps > 0
     assert os.path.getsize(out) > 0
+
+
+def test_eval_callback_writes_cartucho_dirs(tmp_path):
+    from transparent_object_detection_tpu.config import ModelConfig
+    from transparent_object_detection_tpu.eval.callbacks import EvalCallback
+    from transparent_object_detection_tpu.eval.voc_map import get_map_from_dirs
+
+    cb = EvalCallback(
+        ModelConfig(num_classes=1, input_shape=(64, 64)), [], ["Transparent"],
+        log_dir=str(tmp_path),
+    )
+    dets = [np.asarray([[10, 10, 50, 50, 0.9, 0]], np.float64)]
+    gts = [np.asarray([[10, 10, 50, 50, 0]], np.float64)]
+    cb.write_cartucho_dirs(dets, gts, str(tmp_path / "out"))
+    m, _ = get_map_from_dirs(
+        str(tmp_path / "out" / "ground-truth"),
+        str(tmp_path / "out" / "detection-results"),
+        ["Transparent"],
+    )
+    assert m == pytest.approx(1.0)
