@@ -42,6 +42,9 @@ class ModelConfig:
     # Rematerialize the neck fusion nodes in the backward pass (training
     # memory vs FLOPs trade; see models/neck.py).
     remat: bool = False
+    # LayerNorm compute dtype; "bfloat16" halves LN HBM traffic on the big
+    # neck token maps at a small numerics cost.
+    norm_dtype: str = "float32"
 
     @property
     def scale(self) -> Tuple[int, int, float]:

@@ -281,6 +281,9 @@ class TransformerEncoderBlock(nn.Module):
     mlp_ratio: int = 4
     dtype: Dtype = jnp.bfloat16
     attention_impl: Optional[str] = None  # None=auto | xla | chunked | pallas
+    # LayerNorm compute dtype: fp32 by default for safety; bf16 halves the
+    # LN HBM traffic on the big token maps (ModelConfig.norm_dtype knob).
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -292,7 +295,7 @@ class TransformerEncoderBlock(nn.Module):
         dh = c // heads
         tokens = x.reshape(b, n, c)
 
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm1")(tokens)
+        y = nn.LayerNorm(dtype=self.norm_dtype, param_dtype=jnp.float32, name="norm1")(tokens)
         y = y.astype(self.dtype)
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -305,7 +308,7 @@ class TransformerEncoderBlock(nn.Module):
         y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="attn_out")(o)
         tokens = tokens + y
 
-        z = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm2")(tokens)
+        z = nn.LayerNorm(dtype=self.norm_dtype, param_dtype=jnp.float32, name="norm2")(tokens)
         z = z.astype(self.dtype)
         z = nn.Dense(c * self.mlp_ratio, dtype=self.dtype, param_dtype=jnp.float32, name="mlp1")(z)
         z = jax.nn.gelu(z)

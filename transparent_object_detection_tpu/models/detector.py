@@ -33,6 +33,7 @@ class FocusModel(nn.Module):
     strides: Tuple[int, int, int] = (8, 16, 32)
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    norm_dtype: Any = jnp.float32
 
     @property
     def head_filters(self) -> Tuple[int, int, int]:
@@ -61,6 +62,7 @@ class FocusModel(nn.Module):
             self.deep_mul,
             num_heads=self.num_heads,
             dtype=self.dtype,
+            norm_dtype=self.norm_dtype,
             remat=self.remat,
             name="neck",
         )(feats, train)
@@ -90,6 +92,7 @@ def build_model(cfg: ModelConfig) -> FocusModel:
         strides=cfg.strides,
         dtype=jnp.dtype(cfg.compute_dtype),
         remat=cfg.remat,
+        norm_dtype=jnp.dtype(cfg.norm_dtype),
     )
 
 
