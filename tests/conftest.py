@@ -26,6 +26,31 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Modules dominated by whole-model builds, jitted training steps, or the
+# Pallas interpreter — minutes each on a 1-vCPU rig. `pytest -m "not slow"`
+# runs the pure-fn core suite (geometry/loss/assigner/NMS/eval/data/config)
+# in well under two minutes.
+_SLOW_MODULES = {
+    "test_api",
+    "test_attention_mesh",
+    "test_attention_vjp",
+    "test_graft_entry",
+    "test_inference",
+    "test_model",
+    "test_parallel",
+    "test_parity_reference",
+    "test_remat",
+    "test_resume_and_reports",
+    "test_tp",
+    "test_train",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

@@ -1,4 +1,6 @@
 """Evaluator tests: VOC mAP golden cases + COCO stat sanity."""
+import os
+
 import numpy as np
 import pytest
 
@@ -129,3 +131,21 @@ def test_coco_vs_voc_consistency(rng):
     coco = coco_eval(dets, gts, 1)
     vm, _ = voc_map(dets, gts, 1, min_overlap=0.5)
     assert coco["AP50"] == pytest.approx(vm, abs=0.08)
+
+
+def test_write_results_full_reporting_surface(tmp_path):
+    """results.txt + PR curves + per-metric class summary plots
+    (the reference utils_map.py:560-721 artifact set)."""
+    from transparent_object_detection_tpu.eval.voc_map import voc_map, write_results
+
+    g = np.array([[50, 50, 150, 150, 0]], dtype=float)
+    d = np.array([[52, 52, 148, 148, 0.9, 0]], dtype=float)
+    mean_ap, results = voc_map([d], [g], 1)
+    out = str(tmp_path / "res")
+    path = write_results(out, mean_ap, results, ["Transparent"])
+    assert os.path.exists(path)
+    text = open(path).read()
+    assert "Transparent" in text and "LAMR" in text
+    for fname in ["pr_Transparent.png", "mAP.png", "F1.png", "Recall.png",
+                  "Precision.png", "lamr.png"]:
+        assert os.path.exists(os.path.join(out, fname)), fname

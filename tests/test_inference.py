@@ -72,3 +72,24 @@ def test_predictions_deterministic(tiny_predictor):
     a = tiny_predictor.detect_letterboxed(imgs, shapes)
     b = tiny_predictor.detect_letterboxed(imgs, shapes)
     np.testing.assert_array_equal(np.asarray(a["boxes"]), np.asarray(b["boxes"]))
+
+
+def test_predictor_reuses_traced_program(tiny_predictor):
+    """Two Predictors with equal static config share ONE jitted program —
+    building a fresh Predictor (e.g. every eval epoch) never re-traces."""
+    p2 = Predictor(
+        tiny_predictor.model,
+        tiny_predictor.variables,
+        tiny_predictor.model_cfg,
+        tiny_predictor.predict_cfg,
+    )
+    assert p2._detect is tiny_predictor._detect
+    assert p2._letterbox_detect is tiny_predictor._letterbox_detect
+    # a different predict config gets its own program
+    p3 = Predictor(
+        tiny_predictor.model,
+        tiny_predictor.variables,
+        tiny_predictor.model_cfg,
+        PredictConfig(confidence=0.9, max_detections=5, pre_nms_topk=32),
+    )
+    assert p3._detect is not tiny_predictor._detect

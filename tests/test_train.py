@@ -194,6 +194,93 @@ def test_train_step_freeze_keeps_backbone(fake_lines):
     assert max(jax.tree_util.tree_leaves(head_delta)) > 0.0
 
 
+def test_freeze_phase_optimizer_state_stays_zero(fake_lines):
+    """requires_grad=False semantics (reference train.py:332-334): during the
+    freeze phase, frozen leaves accumulate exactly zero momentum and zero
+    weight decay, and the global-norm clip sees only live gradients."""
+    mc, tc = tiny_cfgs()
+    model = tiny_model()
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=True)
+    tx = build_optimizer(tc, variables["params"], freeze_backbone=True)
+    state = create_train_state(model, variables, tx)
+    lc = loss_config_from(mc, tc)
+    step = make_train_step(model, tx, lc, tc, freeze_backbone=True, donate=False)
+    batch = {
+        "image": jnp.asarray(np.random.default_rng(1).uniform(size=(2, 64, 64, 3)), jnp.float32),
+        "boxes": jnp.zeros((2, 8, 4)).at[:, 0].set(jnp.asarray([0.5, 0.5, 0.4, 0.4])),
+        "labels": jnp.zeros((2, 8), jnp.int32),
+    }
+    for _ in range(3):
+        state, _ = step(state, batch, jnp.asarray(1e-3))
+
+    # momentum (optax.trace) state for every frozen leaf is exactly zero
+    trace_state = [s for s in jax.tree_util.tree_leaves(
+        state.opt_state, is_leaf=lambda n: hasattr(n, "trace")
+    ) if hasattr(s, "trace")]
+    assert trace_state, "expected an optax.trace state in the chain"
+    frozen_momentum = trace_state[0].trace["backbone"]
+    assert max(
+        float(jnp.abs(leaf).max()) for leaf in jax.tree_util.tree_leaves(frozen_momentum)
+    ) == 0.0
+    # live momentum is nonzero (the optimizer is actually doing work)
+    live_momentum = trace_state[0].trace["head"]
+    assert max(
+        float(jnp.abs(leaf).max()) for leaf in jax.tree_util.tree_leaves(live_momentum)
+    ) > 0.0
+
+
+def test_freeze_phase_clip_ignores_backbone_grads(fake_lines):
+    """The clip scale during freeze must be computed from live grads only:
+    the frozen step's head update equals the update of a step where backbone
+    grads were never produced at all."""
+    mc, tc = tiny_cfgs()
+    model = tiny_model()
+    # tiny clip norm so clipping is active and any extra grad mass changes it
+    tc = TrainConfig(**{**{f.name: getattr(tc, f.name) for f in
+                           __import__("dataclasses").fields(tc)},
+                        "grad_clip_norm": 1e-3})
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=True)
+    lc = loss_config_from(mc, tc)
+    batch = {
+        "image": jnp.asarray(np.random.default_rng(2).uniform(size=(2, 64, 64, 3)), jnp.float32),
+        "boxes": jnp.zeros((2, 8, 4)).at[:, 0].set(jnp.asarray([0.5, 0.5, 0.4, 0.4])),
+        "labels": jnp.zeros((2, 8), jnp.int32),
+    }
+
+    tx_f = build_optimizer(tc, variables["params"], freeze_backbone=True)
+    state_f = create_train_state(model, variables, tx_f)
+    step_f = make_train_step(model, tx_f, lc, tc, freeze_backbone=True, donate=False)
+    new_f, _ = step_f(state_f, batch, jnp.asarray(1e-3))
+
+    # oracle: manually zero backbone grads, then run the same chain
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": state_f.batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"],
+        )
+        from transparent_object_detection_tpu.train.loss import detection_loss
+        total, _ = detection_loss(out["raw"], batch["boxes"], batch["labels"], lc)
+        return total
+
+    grads = jax.grad(loss_fn)(state_f.params)
+    grads = jax.tree_util.tree_map(
+        lambda g, f: jnp.zeros_like(g) if f else g, grads,
+        backbone_frozen_mask(state_f.params),
+    )
+    import optax
+    updates, _ = tx_f.update(grads, tx_f.init(state_f.params), state_f.params)
+    expect_head = optax.apply_updates(
+        state_f.params["head"],
+        jax.tree_util.tree_map(lambda u: -1e-3 * u, updates["head"]),
+    )
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), new_f.params["head"], expect_head
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-7
+
+
 def test_trainer_fit_two_epochs(fake_lines, tmp_path):
     mc, tc = tiny_cfgs(save_dir=str(tmp_path / "logs"))
     trainer = Trainer(mc, tc, model=tiny_model())

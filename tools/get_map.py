@@ -59,7 +59,13 @@ def main():
         )
         stats = cb.evaluate(focus.model, focus.variables)
         if args.mode == 1:
-            print("note: mode 1 runs prediction inline; stats below")
+            # cache raw per-image detections/GTs for later mode-2 scoring
+            np.savez(
+                args.cache,
+                dets=np.asarray(cb.last_dets, dtype=object),
+                gts=np.asarray(cb.last_gts, dtype=object),
+            )
+            print(f"cached {len(cb.last_dets)} images of detections to {args.cache}")
         _print_stats(stats)
     else:
         data = np.load(args.cache, allow_pickle=True)

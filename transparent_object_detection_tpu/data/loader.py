@@ -98,6 +98,9 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     sentinel = object()
 
     def produce():
+        # Producer errors (corrupt file, missing image, augmentation bug)
+        # must surface in the training loop, not silently truncate the
+        # epoch: enqueue the exception and re-raise it consumer-side.
         try:
             for batch in iterator:
                 if sharding is not None:
@@ -107,6 +110,8 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
                 else:
                     batch = jax.tree_util.tree_map(jax.device_put, batch)
                 q.put(batch)
+        except BaseException as exc:  # noqa: BLE001 - relayed, not swallowed
+            q.put(exc)
         finally:
             q.put(sentinel)
 
@@ -116,4 +121,6 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
         item = q.get()
         if item is sentinel:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -24,11 +24,20 @@ _OUT = os.path.join(_ROOT, "native", "libfused_preprocess.so")
 
 
 def build_native(force: bool = False) -> Optional[str]:
-    """Compile the native library; returns its path or None on failure."""
-    if os.path.exists(_OUT) and not force:
-        return _OUT
+    """Compile the native library; returns its path or None on failure.
+
+    The .so is a local build artifact (never committed: it is compiled with
+    -march=native and would SIGILL on other hosts) and is rebuilt whenever
+    the C++ source is newer than the library.
+    """
     if not os.path.exists(_SRC):
-        return None
+        return _OUT if os.path.exists(_OUT) else None
+    if (
+        os.path.exists(_OUT)
+        and not force
+        and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC)
+    ):
+        return _OUT
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
         "-std=c++17", _SRC, "-o", _OUT,

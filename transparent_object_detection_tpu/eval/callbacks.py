@@ -121,6 +121,11 @@ class EvalCallback:
             nms_mode="exact",
             letterbox_image=True,
         )
+        self._predictor = None  # reused across epochs: no per-eval re-trace
+        # populated by evaluate(): per-image (N,6) dets / (M,5) gts, so
+        # callers (tools/get_map.py mode 1) can cache raw detections
+        self.last_dets: List[np.ndarray] = []
+        self.last_gts: List[np.ndarray] = []
 
     # -- trainer hook ---------------------------------------------------------
 
@@ -180,7 +185,12 @@ class EvalCallback:
         from PIL import Image
         import jax.numpy as jnp
 
-        predictor = Predictor(model, variables, self.model_cfg, self.predict_cfg)
+        if self._predictor is None or self._predictor.model is not model:
+            self._predictor = Predictor(model, variables, self.model_cfg, self.predict_cfg)
+        else:
+            # same compiled program, fresh (EMA) weights
+            self._predictor.variables = variables
+        predictor = self._predictor
         h, w = self.model_cfg.input_shape
         dets_all: List[np.ndarray] = []
         gts_all: List[np.ndarray] = []
@@ -226,6 +236,7 @@ class EvalCallback:
 
         if write_dirs:
             self.write_cartucho_dirs(dets_all, gts_all, write_dirs)
+        self.last_dets, self.last_gts = dets_all, gts_all
         nc = len(self.class_names)
         coco = coco_eval(dets_all, gts_all, nc)
         vmap, _ = voc_map(dets_all, gts_all, nc, self.min_overlap)

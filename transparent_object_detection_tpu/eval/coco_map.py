@@ -23,11 +23,13 @@ import numpy as np
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 RECALL_THRS = np.linspace(0.0, 1.0, 101)
+# pycocotools areaRng, boundaries inclusive on BOTH ends (ignore condition is
+# area < lo or area > hi — an area of exactly 32^2 counts as small AND medium)
 AREA_RANGES = {
-    "all": (0.0, float(np.inf)),
+    "all": (0.0, 1e5**2),
     "small": (0.0, 32.0**2),
     "medium": (32.0**2, 96.0**2),
-    "large": (96.0**2, float(np.inf)),
+    "large": (96.0**2, 1e5**2),
 }
 MAX_DETS = (1, 10, 100)
 
@@ -60,7 +62,7 @@ def _match_image(
     n, m = len(det), len(gt)
     t = len(IOU_THRS)
     g_area = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1]) if m else np.zeros(0)
-    g_ignore = (g_area < area_rng[0]) | (g_area >= area_rng[1])
+    g_ignore = (g_area < area_rng[0]) | (g_area > area_rng[1])
     # sort GTs: valid first (COCOeval processes non-ignored first)
     g_order = np.argsort(g_ignore, kind="stable")
     gt = gt[g_order]
@@ -75,7 +77,12 @@ def _match_image(
             best_iou = min(thr, 1 - 1e-10)
             best = -1
             for gi in range(m):
-                if g_used[gi] and not g_ignore[gi]:
+                # COCOeval lets a detection re-match an already-used GT only
+                # when that GT is iscrowd; this pipeline carries no crowd
+                # annotations, so any used GT is off the table (area-ignored
+                # GTs are NOT reusable — treating them crowd-like inflates
+                # the small/medium/large stats).
+                if g_used[gi]:
                     continue
                 # can't fall back to ignored gt once matched to a valid one
                 if best > -1 and not g_ignore[best] and g_ignore[gi]:
@@ -91,7 +98,7 @@ def _match_image(
             det_ignore[ti, di] = g_ignore[best]
     # unmatched detections outside the area range are ignored, per COCOeval
     d_area = (det[:, 2] - det[:, 0]) * (det[:, 3] - det[:, 1]) if n else np.zeros(0)
-    d_out = (d_area < area_rng[0]) | (d_area >= area_rng[1])
+    d_out = (d_area < area_rng[0]) | (d_area > area_rng[1])
     det_ignore = det_ignore | (~det_matched & d_out[None, :])
     n_valid_gt = int((~g_ignore).sum())
     return det_matched, det_ignore, det[:, 4], n_valid_gt

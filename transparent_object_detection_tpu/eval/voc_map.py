@@ -297,6 +297,36 @@ def write_results(
                 plt.grid(True)
                 plt.savefig(os.path.join(out_dir, f"pr_{name}.png"))
                 plt.close("all")
+
+            # per-metric class summaries, one horizontal bar per class
+            # (the reference's mAP/F1/Recall/Precision/lamr plot set,
+            # utils_map.py:560-721)
+            names = [
+                class_names[c] if c < len(class_names) else str(c) for c in results
+            ]
+            metric_sets = {
+                "mAP": ([r.ap for r in results.values()],
+                        f"mAP@{min_overlap} = {mean_ap * 100:.2f}%"),
+                "F1": ([r.f1 for r in results.values()], "F1 at score threshold"),
+                "Recall": ([r.rec_at_thresh for r in results.values()],
+                           "Recall at score threshold"),
+                "Precision": ([r.prec_at_thresh for r in results.values()],
+                              "Precision at score threshold"),
+                "lamr": ([r.lamr for r in results.values()],
+                         "log-average miss rate (lower is better)"),
+            }
+            for fname, (values, title) in metric_sets.items():
+                plt.figure(figsize=(8, max(2, 0.4 * len(names) + 1)))
+                ypos = np.arange(len(names))
+                plt.barh(ypos, values)
+                for y, v in zip(ypos, values):
+                    plt.text(v, y, f" {v:.3f}", va="center")
+                plt.yticks(ypos, names)
+                plt.title(title)
+                plt.xlim(0, 1.1)
+                plt.tight_layout()
+                plt.savefig(os.path.join(out_dir, f"{fname}.png"))
+                plt.close("all")
         except Exception:
             pass
     return path

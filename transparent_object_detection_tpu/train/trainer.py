@@ -109,12 +109,23 @@ def make_train_step(
             return total, (mut["batch_stats"], comps)
 
         grads, (new_bs, comps) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if freeze_backbone:
+            # requires_grad=False semantics (reference train.py:332-334):
+            # frozen grads are zeroed BEFORE the chain so clip_by_global_norm
+            # sees only live gradients and momentum stays zero for frozen
+            # leaves (the build_optimizer freeze variant also mask-excludes
+            # them from weight decay).
+            frozen = backbone_frozen_mask(state.params)
+            grads = jax.tree_util.tree_map(
+                lambda g, f: jnp.zeros_like(g) if f else g, grads, frozen
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         if freeze_backbone:
-            frozen = backbone_frozen_mask(state.params)
+            # Belt-and-suspenders: even with a tx whose weight decay is not
+            # freeze-masked, frozen params must never move.
             updates = jax.tree_util.tree_map(
-                lambda u, f: jnp.where(f, 0.0, u), updates, frozen
+                lambda u, f: jnp.zeros_like(u) if f else u, updates, frozen
             )
         params = optax.apply_updates(state.params, updates)
 
@@ -252,7 +263,14 @@ class Trainer:
         def build_phase(bs: int, frozen: bool):
             init_lr, min_lr = tc.fit_lr(bs)
             sched = get_lr_scheduler(tc.lr_decay_type, init_lr, min_lr, tc.unfreeze_epoch)
-            step_fn = make_train_step(self.model, tx, self.loss_cfg, tc, freeze_backbone=frozen)
+            # The freeze-phase chain differs only in its weight-decay mask —
+            # same state structure, so opt_state carries across unfreeze.
+            phase_tx = (
+                build_optimizer(tc, self.variables["params"], freeze_backbone=True)
+                if frozen
+                else tx
+            )
+            step_fn = make_train_step(self.model, phase_tx, self.loss_cfg, tc, freeze_backbone=frozen)
             tl = self._make_loader(train_lines, bs, train=True)
             vl = self._make_loader(val_lines, bs, train=False)
             return sched, step_fn, tl, vl
