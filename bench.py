@@ -50,6 +50,32 @@ def main() -> None:
     images = jax.random.uniform(key, (batch, 640, 640, 3), dtype=jnp.float32)
     shapes = jnp.tile(jnp.asarray([[640.0, 640.0]], jnp.float32), (batch, 1))
 
+    # FLOP accounting: XLA's own cost model for the compiled program gives
+    # achieved TFLOP/s and MFU vs peak (v5e bf16 = 197 TFLOP/s by default;
+    # override with BENCH_PEAK_TFLOPS). flops==-1 means the backend didn't
+    # report a cost analysis.
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+    flops_per_batch = -1.0
+    try:
+        from transparent_object_detection_tpu.ops.attention import (
+            start_flop_log,
+            stop_flop_log,
+        )
+
+        # XLA cost analysis reports 0 for custom calls, so the Pallas flash
+        # launches are logged at trace time and added analytically.
+        start_flop_log()
+        lowered = step.lower(variables, images=images, image_shapes=shapes)
+        flash_flops = sum(r["flops"] for r in stop_flop_log())
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        xla_flops = float(cost.get("flops", 0.0))
+        if xla_flops > 0:
+            flops_per_batch = xla_flops + flash_flops
+    except Exception:
+        pass
+
     # warmup / compile (value fetch forces a full round trip — on tunneled
     # backends block_until_ready alone can under-report)
     out = step(variables, images=images, image_shapes=shapes)
@@ -63,16 +89,21 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "imgs/sec/chip 640x640 batch inference (phi=s, bf16, on-device NMS)",
-                "value": round(imgs_per_sec, 2),
-                "unit": "imgs/sec/chip",
-                "vs_baseline": round(imgs_per_sec / 2000.0, 4),
-            }
-        )
-    )
+    record = {
+        "metric": f"imgs/sec/chip 640x640 batch inference (phi={cfg.phi}, bf16, on-device NMS)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / 2000.0, 4),
+    }
+    if flops_per_batch > 0:
+        tflop_per_img = flops_per_batch / batch / 1e12
+        achieved = imgs_per_sec * tflop_per_img  # TFLOP/s
+        record["tflop_per_img"] = round(tflop_per_img, 4)
+        record["achieved_tflops"] = round(achieved, 1)
+        record["mfu"] = round(achieved / peak_tflops, 4)
+        # FLOP speed-of-light on this chip for this exact program
+        record["ceiling_imgs_per_sec"] = round(peak_tflops / tflop_per_img, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ import pytest  # noqa: E402
 _SLOW_MODULES = {
     "test_api",
     "test_attention_mesh",
+    "test_focus_import",
     "test_attention_vjp",
     "test_graft_entry",
     "test_inference",

@@ -127,10 +127,14 @@ def test_teb_shape_and_batch_independence():
 
 
 def test_pick_num_heads():
-    assert _pick_num_heads(2048, 8) == 8
+    assert _pick_num_heads(2048, 8) == 8  # dh=256, lane-aligned
     assert _pick_num_heads(337, 8) == 1  # 337 is prime
     assert _pick_num_heads(12, 8) == 6
     assert _pick_num_heads(4, 8) == 4
+    # lane preference: 1536 = 8*192 (unaligned) vs 6*256 (aligned) -> 6
+    assert _pick_num_heads(1536, 8) == 6
+    assert _pick_num_heads(512, 8) == 4  # 4*128 beats 8*64
+    assert _pick_num_heads(1024, 8) == 8  # 8*128 aligned already
 
 
 def test_fuse_conv_bn_equivalence():

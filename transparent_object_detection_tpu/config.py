@@ -45,6 +45,11 @@ class ModelConfig:
     # LayerNorm compute dtype; "bfloat16" halves LN HBM traffic on the big
     # neck token maps at a small numerics cost.
     norm_dtype: str = "float32"
+    # Prefer attention head counts whose head_dim is a multiple of the TPU
+    # lane count (128), keeping the packed flash kernel transpose-free (e.g.
+    # phi='s' 1536-channel fusion TEBs: 6 heads x 256 instead of 8 x 192).
+    # Set False for exact reference head grouping (torch-checkpoint parity).
+    lane_align_heads: bool = True
 
     @property
     def scale(self) -> Tuple[int, int, float]:

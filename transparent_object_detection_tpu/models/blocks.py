@@ -259,11 +259,24 @@ class SelfAttention(nn.Module):
         return out.reshape(b, h, w, c)
 
 
-def _pick_num_heads(channels: int, requested: int) -> int:
-    """Largest head count <= requested that divides the channel width.
+def _pick_num_heads(channels: int, requested: int, lane_align: bool = True) -> int:
+    """Head count <= requested that divides the channel width, preferring
+    lane-aligned head dims.
 
-    Repairs the reference 'n'-scale whose 337-channel TEB cannot host 8-head
-    attention (SURVEY.md §2.2)."""
+    TPU-first rule: when some h <= requested gives head_dim = channels/h
+    that is a multiple of 128 (the TPU lane count), take the largest such h —
+    the packed multi-head flash kernel then grids over heads by slicing the
+    channel axis with ZERO HBM transposes (ops/attention.py). E.g. the
+    phi='s' neck's 1536-channel fusion TEBs run 6 heads of 256 instead of
+    8 heads of 192 (which would fall to the transposing fold path on the
+    hot 6,400-token map). Otherwise the largest plain divisor <= requested
+    (repairs the reference 'n'-scale whose 337-channel TEB cannot host
+    8-head attention, SURVEY.md §2.2). lane_align=False restores the plain
+    divisor rule (torch-checkpoint parity: exact reference head grouping)."""
+    if lane_align:
+        for h in range(min(requested, channels), 0, -1):
+            if channels % h == 0 and (channels // h) % 128 == 0:
+                return h
     for h in range(min(requested, channels), 0, -1):
         if channels % h == 0:
             return h
@@ -284,6 +297,9 @@ class TransformerEncoderBlock(nn.Module):
     # LayerNorm compute dtype: fp32 by default for safety; bf16 halves the
     # LN HBM traffic on the big token maps (ModelConfig.norm_dtype knob).
     norm_dtype: Dtype = jnp.float32
+    # Prefer head counts whose head_dim is a 128-lane multiple (see
+    # _pick_num_heads); False restores exact reference head grouping.
+    lane_align_heads: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -291,7 +307,7 @@ class TransformerEncoderBlock(nn.Module):
 
         b, h, w, c = x.shape
         n = h * w
-        heads = _pick_num_heads(c, self.num_heads)
+        heads = _pick_num_heads(c, self.num_heads, self.lane_align_heads)
         dh = c // heads
         tokens = x.reshape(b, n, c)
 

@@ -34,6 +34,7 @@ class FocusModel(nn.Module):
     dtype: Any = jnp.bfloat16
     remat: bool = False
     norm_dtype: Any = jnp.float32
+    lane_align_heads: bool = True
 
     @property
     def head_filters(self) -> Tuple[int, int, int]:
@@ -63,6 +64,7 @@ class FocusModel(nn.Module):
             num_heads=self.num_heads,
             dtype=self.dtype,
             norm_dtype=self.norm_dtype,
+            lane_align_heads=self.lane_align_heads,
             remat=self.remat,
             name="neck",
         )(feats, train)
@@ -93,6 +95,7 @@ def build_model(cfg: ModelConfig) -> FocusModel:
         dtype=jnp.dtype(cfg.compute_dtype),
         remat=cfg.remat,
         norm_dtype=jnp.dtype(cfg.norm_dtype),
+        lane_align_heads=cfg.lane_align_heads,
     )
 
 

@@ -40,12 +40,13 @@ class FusionNode(nn.Module):
     num_heads: int = 8
     dtype: Any = jnp.bfloat16
     norm_dtype: Any = jnp.float32
+    lane_align_heads: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = TransformerEncoderBlock(
             num_heads=self.num_heads, dtype=self.dtype, norm_dtype=self.norm_dtype,
-            name="teb",
+            lane_align_heads=self.lane_align_heads, name="teb",
         )(x, train)
         x = ConvBNAct(self.out_features, 1, dtype=self.dtype, name="reduce")(x, train)
         return CBAM(dtype=self.dtype, name="cbam")(x, train)
@@ -58,6 +59,7 @@ class Neck(nn.Module):
     num_heads: int = 8
     dtype: Any = jnp.bfloat16
     norm_dtype: Any = jnp.float32
+    lane_align_heads: bool = True
     # Rematerialize fusion nodes in the backward pass: the TEBs hold the
     # largest activations in the network (up to 2048ch x 80x80 tokens); remat
     # trades ~1/3 extra neck FLOPs for a large HBM saving during training
@@ -73,7 +75,9 @@ class Neck(nn.Module):
         c5 = int(c * 16 * self.deep_mul)
         dt, nh = self.dtype, self.num_heads
         node_cls = nn.remat(FusionNode, static_argnums=(2,)) if self.remat else FusionNode
-        node_cls = functools.partial(node_cls, norm_dtype=self.norm_dtype)
+        node_cls = functools.partial(
+            node_cls, norm_dtype=self.norm_dtype, lane_align_heads=self.lane_align_heads
+        )
 
         # top-down
         h1 = node_cls(c * 8, nh, dt, name="h1")(

@@ -42,6 +42,31 @@ def set_attention_mesh(mesh, axis_name: str = "data") -> None:
     _SHARD_AXIS = axis_name
 
 
+# Trace-time FLOP accounting: XLA's cost analysis reports 0 FLOPs for
+# custom calls, so Pallas flash launches would vanish from MFU math. The
+# dispatcher appends one record per pallas launch while tracing; benchmarks
+# wrap their jit .lower() in start/stop and add 2*B*N^2*(Cq + Cv) per entry.
+_FLOP_LOG: Optional[list] = None
+
+
+def start_flop_log() -> None:
+    global _FLOP_LOG
+    _FLOP_LOG = []
+
+
+def stop_flop_log() -> list:
+    """Return records appended since start_flop_log and disable logging."""
+    global _FLOP_LOG
+    log, _FLOP_LOG = _FLOP_LOG, None
+    return log or []
+
+
+def _log_flash_launch(b: int, n: int, cq: int, cv: int) -> None:
+    if _FLOP_LOG is not None:
+        _FLOP_LOG.append({"batch": b, "n": n, "cq": cq, "cv": cv,
+                          "flops": 2.0 * b * n * n * (cq + cv)})
+
+
 def _maybe_shard_map(fn):
     """Wrap a (q, k, v) -> out kernel launcher in shard_map over the batch
     axis when a mesh is registered."""
@@ -127,16 +152,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: f
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k_blk = k_ref[0].astype(jnp.float32)
-    v_blk = v_ref[0].astype(jnp.float32)
+    # matmuls take the input dtype (bf16 in serving) with fp32 accumulation —
+    # casting inputs to f32 first would force fp32 MXU passes at a fraction
+    # of the bf16 rate; softmax statistics stay in f32
+    q = q_ref[0]
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
 
     s = (
         jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         * scale
-    )  # (bq, bk)
+    )  # (bq, bk) f32
     m_prev = m_scr[:, 0:1]
     l_prev = l_scr[:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -144,7 +172,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: f
     correction = jnp.exp(m_prev - m_new)
     l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
-        p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m_scr[:, 0:1] = m_new
     l_scr[:, 0:1] = l_new
@@ -215,9 +244,9 @@ def _mha_flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scal
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k_blk = k_ref[0].astype(jnp.float32)
-    v_blk = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
 
     s = (
         jax.lax.dot_general(
@@ -232,7 +261,8 @@ def _mha_flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scal
     correction = jnp.exp(m_prev - m_new)
     l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
-        p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m_scr[:, 0:1] = m_new
     l_scr[:, 0:1] = l_new
@@ -354,6 +384,7 @@ def attention(
             if bq is not None and bk is not None and d % 128 == 0:
                 # head axis = grid dim slicing the packed channel axis:
                 # zero transposes in HBM; differentiable via custom VJP
+                _log_flash_launch(b, n, c, v.shape[-1])
                 launch = _maybe_shard_map(_diff_flash(scale, bq, bk, num_heads))
                 return launch(q, k, v)
         # generic multi-head: fold heads into the batch axis
@@ -370,6 +401,7 @@ def attention(
         bq = _divisor_block(n, block_q)
         bk = _divisor_block(n, block_k)
         if bq is not None and bk is not None:
+            _log_flash_launch(q.shape[0], n, c, v.shape[-1])
             launch = _maybe_shard_map(_diff_flash(scale, bq, bk, 1))
             return launch(q, k, v)
         impl = "chunked"  # no MXU-friendly divisor: ragged N falls back

@@ -39,6 +39,7 @@ INTERPRET = False
 
 
 def _fwd_lse_body(q, k_blk, v_blk, m_scr, l_scr, acc_scr, scale):
+    # bf16 matmul inputs + f32 accumulation (full MXU rate); f32 softmax stats
     s = (
         jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -52,7 +53,8 @@ def _fwd_lse_body(q, k_blk, v_blk, m_scr, l_scr, acc_scr, scale):
     correction = jnp.exp(m_prev - m_new)
     l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
-        p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m_scr[:, 0:1] = m_new
     l_scr[:, 0:1] = l_new
@@ -69,12 +71,7 @@ def _fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    _fwd_lse_body(
-        q_ref[0].astype(jnp.float32),
-        k_ref[0].astype(jnp.float32),
-        v_ref[0].astype(jnp.float32),
-        m_scr, l_scr, acc_scr, scale,
-    )
+    _fwd_lse_body(q_ref[0], k_ref[0], v_ref[0], m_scr, l_scr, acc_scr, scale)
 
     @pl.when(ki == nk - 1)
     def _finish():
@@ -152,14 +149,17 @@ def flash_fwd_lse(
 
 
 def _recompute_p_ds(q, k_blk, v_blk, do, lse, dcap, scale):
-    """Shared tile math: P = exp(S - lse); dS = P * (dP - D) * scale."""
+    """Shared tile math: P = exp(S - lse); dS = P * (dP - D) * scale.
+
+    Inputs stay in their storage dtype (bf16 matmuls, f32 accumulation);
+    p/ds come back in f32 — callers cast at their matmul sites."""
     s = (
         jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         * scale
     )
-    p = jnp.exp(s - lse)  # (bq, bk)
+    p = jnp.exp(s - lse)  # (bq, bk) f32
     dp = jax.lax.dot_general(
         do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -176,16 +176,17 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dq_ref, dq_scr,
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k_blk = k_ref[0].astype(jnp.float32)
-    v_blk = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[...].reshape(-1, 1)  # (bq, 1) f32, any block rank
     dcap = d_ref[...].reshape(-1, 1)
 
     _, ds = _recompute_p_ds(q, k_blk, v_blk, do, lse, dcap, scale)
     dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
-        ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(ki == nk - 1)
@@ -203,20 +204,22 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dk_ref, dv_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k_blk = k_ref[0].astype(jnp.float32)
-    v_blk = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[...].reshape(-1, 1)
     dcap = d_ref[...].reshape(-1, 1)
 
     p, ds = _recompute_p_ds(q, k_blk, v_blk, do, lse, dcap, scale)
     # dv += P^T dO ; dk += dS^T Q   (contract over the q-block axis)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(qi == nq - 1)
