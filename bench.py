@@ -30,8 +30,10 @@ def main() -> None:
     import os
 
     batch = int(os.environ.get("BENCH_BATCH", "32"))
+    int8 = os.environ.get("BENCH_INT8", "0") == "1"
     cfg = ModelConfig(num_classes=1, phi=os.environ.get("BENCH_PHI", "s"),
-                      input_shape=(640, 640), compute_dtype="bfloat16")
+                      input_shape=(640, 640), compute_dtype="bfloat16",
+                      int8_dense=int8)
     pred_cfg = PredictConfig(
         confidence=0.25, nms_iou=0.5, max_detections=100, pre_nms_topk=256, nms_mode="fast"
     )
@@ -90,7 +92,10 @@ def main() -> None:
 
     imgs_per_sec = batch * iters / dt
     record = {
-        "metric": f"imgs/sec/chip 640x640 batch inference (phi={cfg.phi}, bf16, on-device NMS)",
+        "metric": (
+            f"imgs/sec/chip 640x640 batch inference (phi={cfg.phi}, "
+            f"{'int8-TEB+bf16' if int8 else 'bf16'}, on-device NMS)"
+        ),
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / 2000.0, 4),

@@ -118,6 +118,26 @@ def main(steps: int = 400, size: int = None):
             "coco_ap": round(stats["AP"], 4),
             "ok": bool(stats["AP50"] > 0.5 or stats["voc_map"] > 0.5),
         }
+
+        if os.environ.get("E2E_INT8", "0") == "1":
+            # deploy-time quantization drift: same trained weights through the
+            # int8-TEB model (parameter tree is identical by construction)
+            q_model = FocusModel(
+                num_classes=1, base_channels=16, base_depth=1, deep_mul=0.5,
+                num_heads=4, dtype=jnp.float32, int8_dense=True,
+            )
+            q_cb = EvalCallback(
+                mc, lines, ["Transparent"], log_dir=root, confidence=0.25,
+                nms_iou=0.5, batch_size=8,
+            )
+            q_stats = q_cb.evaluate(
+                q_model, {"params": state.params, "batch_stats": state.batch_stats}
+            )
+            out["int8_map50"] = round(q_stats["AP50"], 4)
+            out["int8_coco_ap"] = round(q_stats["AP"], 4)
+            out["int8_map50_drift"] = round(q_stats["AP50"] - stats["AP50"], 4)
+            out["ok"] = out["ok"] and abs(out["int8_map50_drift"]) <= 0.005
+
         print(json.dumps(out))
         return out
 

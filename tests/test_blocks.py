@@ -150,3 +150,38 @@ def test_fuse_conv_bn_equivalence():
     fused_p, fused_s = fuse_conv_bn(variables["params"], variables["batch_stats"])
     fused = module.apply({"params": fused_p, "batch_stats": fused_s}, x, train=False)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_quantdense_matches_dense_and_shares_tree():
+    """QuantDense: identical param tree to nn.Dense; int8 output within ~1%
+    of the fp32 matmul; a bf16-trained checkpoint deploys as int8 directly."""
+    import flax.linen as nn
+    from transparent_object_detection_tpu.models.blocks import QuantDense
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 48)), jnp.float32)
+    qd = QuantDense(32, dtype=jnp.float32)
+    dn = nn.Dense(32, dtype=jnp.float32, param_dtype=jnp.float32)
+    v = qd.init(jax.random.key(1), x)
+    # same tree structure and shapes
+    v_dense = dn.init(jax.random.key(1), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_dense)
+    out_q = qd.apply(v, x)
+    out_d = dn.apply(v, x)
+    rel = float(jnp.abs(out_q - out_d).max() / (jnp.abs(out_d).max() + 1e-9))
+    assert rel < 0.02, rel
+
+
+def test_teb_int8_mode_same_params_small_drift():
+    from transparent_object_detection_tpu.models.blocks import TransformerEncoderBlock
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 32)), jnp.float32)
+    teb = TransformerEncoderBlock(num_heads=2, dtype=jnp.float32)
+    teb_q = TransformerEncoderBlock(num_heads=2, dtype=jnp.float32, int8_dense=True)
+    v = teb.init(jax.random.key(0), x, train=False)
+    # int8 variant consumes the same variables
+    out = teb.apply(v, x, train=False)
+    out_q = teb_q.apply(v, x, train=False)
+    rel = float(jnp.abs(out - out_q).max() / (jnp.abs(out).max() + 1e-9))
+    assert rel < 0.05, rel

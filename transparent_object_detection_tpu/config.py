@@ -50,6 +50,12 @@ class ModelConfig:
     # phi='s' 1536-channel fusion TEBs: 6 heads x 256 instead of 8 x 192).
     # Set False for exact reference head grouping (torch-checkpoint parity).
     lane_align_heads: bool = True
+    # Serving quantization: run the neck TEB projections (qkv / attn_out /
+    # mlp1 / mlp2 — the FLOP-dominant matmuls) as int8 MXU matmuls with
+    # dynamic per-token activation scales. Parameter tree unchanged: a
+    # bf16-trained checkpoint deploys as int8 directly. The bf16 FLOP
+    # ceiling at phi='s' 640^2 is ~142 imgs/s/chip on v5e; int8 raises it.
+    int8_dense: bool = False
 
     @property
     def scale(self) -> Tuple[int, int, float]:

@@ -259,6 +259,56 @@ class SelfAttention(nn.Module):
         return out.reshape(b, h, w, c)
 
 
+class QuantDense(nn.Module):
+    """Dense with int8 MXU matmul — the serving quantization path.
+
+    Parameter tree is IDENTICAL to nn.Dense (fp32 `kernel` + `bias`), so any
+    bf16-trained checkpoint loads unchanged; quantization happens at trace
+    time inside the forward:
+
+      * weights: per-output-channel symmetric int8 (absmax / 127) — one
+        O(weights) pass per step, negligible against the activation matmul
+      * activations: dynamic per-token symmetric int8 (absmax over channels)
+      * matmul: int8 x int8 -> int32 on the MXU (2x the bf16 rate on v5e),
+        dequantized by the rank-1 outer product of the two scale vectors.
+
+    Serving-only: route gradients through the bf16 path during training (the
+    straight-through estimator is not implemented — the detector trains in
+    bf16 and deploys int8, the production pattern this framework targets).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        w_scale = jnp.max(jnp.abs(kernel), axis=0, keepdims=True) / 127.0  # (1, F)
+        wq = jnp.round(kernel / jnp.maximum(w_scale, 1e-12)).astype(jnp.int8)
+
+        xf = x.astype(jnp.float32)
+        x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0  # (..., 1)
+        xq = jnp.clip(
+            jnp.round(xf / jnp.maximum(x_scale, 1e-12)), -127, 127
+        ).astype(jnp.int8)
+
+        acc = jax.lax.dot_general(
+            xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = acc.astype(jnp.float32) * x_scale * w_scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            out = out + bias
+        return out.astype(self.dtype)
+
+
 def _pick_num_heads(channels: int, requested: int, lane_align: bool = True) -> int:
     """Head count <= requested that divides the channel width, preferring
     lane-aligned head dims.
@@ -300,6 +350,10 @@ class TransformerEncoderBlock(nn.Module):
     # Prefer head counts whose head_dim is a 128-lane multiple (see
     # _pick_num_heads); False restores exact reference head grouping.
     lane_align_heads: bool = True
+    # int8 serving path: the four projections run as QuantDense (same param
+    # tree — bf16-trained checkpoints load unchanged). Attention itself
+    # stays bf16 flash.
+    int8_dense: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -311,9 +365,16 @@ class TransformerEncoderBlock(nn.Module):
         dh = c // heads
         tokens = x.reshape(b, n, c)
 
+        if self.int8_dense:
+            dense = lambda f, name: QuantDense(f, dtype=self.dtype, name=name)
+        else:
+            dense = lambda f, name: nn.Dense(
+                f, dtype=self.dtype, param_dtype=jnp.float32, name=name
+            )
+
         y = nn.LayerNorm(dtype=self.norm_dtype, param_dtype=jnp.float32, name="norm1")(tokens)
         y = y.astype(self.dtype)
-        qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(y)
+        qkv = dense(3 * c, "qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         # heads stay packed in the channel axis; the multi-head flash kernel
         # grids over them (no HBM transpose when head_dim is 128-aligned)
@@ -321,14 +382,14 @@ class TransformerEncoderBlock(nn.Module):
             q, k, v, scale=1.0 / math.sqrt(dh), impl=self.attention_impl,
             num_heads=heads,
         )
-        y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="attn_out")(o)
+        y = dense(c, "attn_out")(o)
         tokens = tokens + y
 
         z = nn.LayerNorm(dtype=self.norm_dtype, param_dtype=jnp.float32, name="norm2")(tokens)
         z = z.astype(self.dtype)
-        z = nn.Dense(c * self.mlp_ratio, dtype=self.dtype, param_dtype=jnp.float32, name="mlp1")(z)
+        z = dense(c * self.mlp_ratio, "mlp1")(z)
         z = jax.nn.gelu(z)
-        z = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="mlp2")(z)
+        z = dense(c, "mlp2")(z)
         tokens = tokens + z
         return tokens.reshape(b, h, w, c)
 

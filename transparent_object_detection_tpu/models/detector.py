@@ -35,6 +35,8 @@ class FocusModel(nn.Module):
     remat: bool = False
     norm_dtype: Any = jnp.float32
     lane_align_heads: bool = True
+    # int8 TEB projections (serving); bf16-trained params load unchanged
+    int8_dense: bool = False
 
     @property
     def head_filters(self) -> Tuple[int, int, int]:
@@ -65,6 +67,7 @@ class FocusModel(nn.Module):
             dtype=self.dtype,
             norm_dtype=self.norm_dtype,
             lane_align_heads=self.lane_align_heads,
+            int8_dense=self.int8_dense,
             remat=self.remat,
             name="neck",
         )(feats, train)
@@ -96,6 +99,7 @@ def build_model(cfg: ModelConfig) -> FocusModel:
         remat=cfg.remat,
         norm_dtype=jnp.dtype(cfg.norm_dtype),
         lane_align_heads=cfg.lane_align_heads,
+        int8_dense=cfg.int8_dense,
     )
 
 

@@ -41,12 +41,14 @@ class FusionNode(nn.Module):
     dtype: Any = jnp.bfloat16
     norm_dtype: Any = jnp.float32
     lane_align_heads: bool = True
+    int8_dense: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = TransformerEncoderBlock(
             num_heads=self.num_heads, dtype=self.dtype, norm_dtype=self.norm_dtype,
-            lane_align_heads=self.lane_align_heads, name="teb",
+            lane_align_heads=self.lane_align_heads, int8_dense=self.int8_dense,
+            name="teb",
         )(x, train)
         x = ConvBNAct(self.out_features, 1, dtype=self.dtype, name="reduce")(x, train)
         return CBAM(dtype=self.dtype, name="cbam")(x, train)
@@ -60,6 +62,7 @@ class Neck(nn.Module):
     dtype: Any = jnp.bfloat16
     norm_dtype: Any = jnp.float32
     lane_align_heads: bool = True
+    int8_dense: bool = False
     # Rematerialize fusion nodes in the backward pass: the TEBs hold the
     # largest activations in the network (up to 2048ch x 80x80 tokens); remat
     # trades ~1/3 extra neck FLOPs for a large HBM saving during training
@@ -76,7 +79,8 @@ class Neck(nn.Module):
         dt, nh = self.dtype, self.num_heads
         node_cls = nn.remat(FusionNode, static_argnums=(2,)) if self.remat else FusionNode
         node_cls = functools.partial(
-            node_cls, norm_dtype=self.norm_dtype, lane_align_heads=self.lane_align_heads
+            node_cls, norm_dtype=self.norm_dtype,
+            lane_align_heads=self.lane_align_heads, int8_dense=self.int8_dense,
         )
 
         # top-down
