@@ -1,0 +1,371 @@
+#!/usr/bin/env python
+"""End-to-end mAP parity: the REPAIRED torch reference vs this framework.
+
+Builds the reference FOCUS model from /root/reference/model/*.py with the
+SURVEY.md §2.10 repairs applied (B2 batch-first attention, B3 missing neck
+reducing conv, B4 strides, B5 loss attribute wiring), trains it AND this
+framework's model on the same tiny synthetic dataset with the same optimizer
+and schedule, then scores BOTH through this framework's identical decode ->
+NMS -> COCO/VOC evaluation. Matches the BASELINE.json north star
+("mAP within 0.5pt of the reference's repaired behavior") at the scale this
+rig can train: both must overfit the set and land within PARITY_TOL mAP@0.5.
+
+Prints one JSON report line; exits nonzero on a parity failure.
+
+Env: PARITY_STEPS (300), PARITY_SIZE (96), PARITY_TOL (0.10).
+"""
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+import tempfile
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference"
+
+
+# --------------------------------------------------------------------------
+# reference loading + repairs
+# --------------------------------------------------------------------------
+
+
+def _load_ref(name: str, torch):
+    if "refmodel" not in sys.modules:
+        pkg = types.ModuleType("refmodel")
+        pkg.__path__ = [f"{REF}/model"]
+        sys.modules["refmodel"] = pkg
+    if "utils" not in sys.modules or not hasattr(sys.modules["utils"], "make_anchors"):
+        shim = types.ModuleType("utils")
+
+        def make_anchors(feats, strides, grid_cell_offset=0.5):
+            anchor_points, stride_tensor = [], []
+            for i, stride in enumerate(strides):
+                _, _, h, w = feats[i].shape
+                sx = torch.arange(w, dtype=feats[i].dtype) + grid_cell_offset
+                sy = torch.arange(h, dtype=feats[i].dtype) + grid_cell_offset
+                sy, sx = torch.meshgrid(sy, sx, indexing="ij")
+                anchor_points.append(torch.stack((sx, sy), -1).view(-1, 2))
+                stride_tensor.append(
+                    torch.full((h * w, 1), float(stride), dtype=feats[i].dtype)
+                )
+            return torch.cat(anchor_points), torch.cat(stride_tensor)
+
+        def dist2bbox(distance, anchor_points, xywh=True, dim=-1):
+            lt, rb = torch.split(distance, 2, dim)
+            x1y1 = anchor_points - lt
+            x2y2 = anchor_points + rb
+            if xywh:
+                return torch.cat(((x1y1 + x2y2) / 2, x2y2 - x1y1), dim)
+            return torch.cat((x1y1, x2y2), dim)
+
+        shim.make_anchors = make_anchors
+        shim.dist2bbox = dist2bbox
+        sys.modules["utils"] = shim
+    full = f"refmodel.{name}"
+    if full in sys.modules:
+        return sys.modules[full]
+    spec = importlib.util.spec_from_file_location(full, f"{REF}/model/{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[full] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def build_repaired_torch_model(torch, nn, nc=1, c=16, d=1, dm=0.5):
+    """Reference BaseModel with the §2.10 repairs applied in-place."""
+    blocks = _load_ref("blocks", torch)
+    base_mod = _load_ref("base", torch)
+    model = base_mod.BaseModel(nc, c, d, dm)
+
+    # B2: batch-first attention inside every TEB
+    class RepairedTEB(nn.Module):
+        def __init__(self, teb):
+            super().__init__()
+            self.teb = teb
+
+        def forward(self, x):
+            B, C, H, W = x.shape
+            t = x.flatten(2).transpose(1, 2)  # (B, N, C)
+            n1 = self.teb.norm1(t)
+            a, _ = self.teb.attn(
+                n1.transpose(0, 1), n1.transpose(0, 1), n1.transpose(0, 1)
+            )  # seq-first == per-image attention
+            t = t + a.transpose(0, 1)
+            t = t + self.teb.mlp(self.teb.norm2(t))
+            return t.transpose(1, 2).reshape(B, C, H, W)
+
+    # B3: insert the missing channel-reducing conv between TEB and CBAM
+    c5 = int(c * 16 * dm)
+    node_widths = {  # (concat width, reduced width) per fusion node
+        "h1": (c5 + c * 8, c * 8),
+        "h2": (c * 8 + c * 4, c * 4),
+        "h4": (c * 4 + c * 8, c * 8),
+        "h6": (c * 8 + c5, c5),
+    }
+    for name, (cin, cout) in node_widths.items():
+        seq = getattr(model.neck, name)
+        setattr(
+            model.neck,
+            name,
+            nn.Sequential(RepairedTEB(seq[0]), blocks.Conv(cin, cout, 1), seq[1]),
+        )
+
+    # B4: strides computed at build time; re-run the bias init that depends on them
+    model.head.stride = torch.tensor([8.0, 16.0, 32.0])
+    model.head.initialize_biases()
+    return model
+
+
+def build_repaired_torch_loss(torch, model):
+    """Reference Loss with the B5 repairs (same patches as
+    tests/test_parity_reference.py)."""
+    import torch.nn.functional as F
+
+    loss_mod = _load_ref("loss", torch)
+    crit = loss_mod.Loss(types.SimpleNamespace(head=model.head))
+    crit.no = model.head.no
+    crit.assigner.roll_out = False
+
+    def fixed_df_loss(pred_dist, target):
+        tl = target.long()
+        tr = tl + 1
+        wl = tr - target
+        wr = 1 - wl
+        ce_l = F.cross_entropy(pred_dist, tl.view(-1), reduction="none").view(tl.shape)
+        ce_r = F.cross_entropy(pred_dist, tr.view(-1), reduction="none").view(tl.shape)
+        return (ce_l * wl + ce_r * wr).mean(-1, keepdim=True)
+
+    class FixedBboxLoss(torch.nn.Module):
+        def __init__(self, reg_max):
+            super().__init__()
+            self.reg_max = reg_max
+
+        def forward(self, pred_dist, pred_bboxes, anchor_points, target_bboxes,
+                    target_scores, target_scores_sum, fg_mask):
+            weight = torch.masked_select(target_scores.sum(-1), fg_mask).unsqueeze(-1)
+            iou = loss_mod.bbox_iou(
+                pred_bboxes[fg_mask], target_bboxes[fg_mask], xywh=False, CIoU=True
+            )
+            loss_iou = ((1.0 - iou) * weight).sum() / target_scores_sum
+            target_ltrb = loss_mod.bbox2dist(anchor_points, target_bboxes, self.reg_max)
+            loss_dfl = fixed_df_loss(
+                pred_dist[fg_mask].view(-1, self.reg_max + 1), target_ltrb[fg_mask]
+            ) * weight
+            loss_dfl = loss_dfl.sum() / target_scores_sum
+            return loss_iou, loss_dfl
+
+    crit.bbox_loss = FixedBboxLoss(model.head.ch - 1)
+    return crit
+
+
+# --------------------------------------------------------------------------
+# shared eval: raw maps -> decode -> NMS -> mAP (identical for both)
+# --------------------------------------------------------------------------
+
+
+def decode_and_score(raw_maps_nhwc, gts, nc=1, reg_max=16, strides=(8, 16, 32)):
+    """raw_maps_nhwc: list of 3 np arrays (B, H, W, 4*reg_max + nc)."""
+    import jax
+    import jax.numpy as jnp
+
+    from transparent_object_detection_tpu.eval.coco_map import coco_eval
+    from transparent_object_detection_tpu.eval.voc_map import voc_map
+    from transparent_object_detection_tpu.models.blocks import dfl_expectation
+    from transparent_object_detection_tpu.ops.geometry import make_anchors, xywh2xyxy
+    from transparent_object_detection_tpu.ops.nms import batched_nms
+
+    b = raw_maps_nhwc[0].shape[0]
+    feat_shapes = tuple((m.shape[1], m.shape[2]) for m in raw_maps_nhwc)
+    anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)
+    flat = jnp.concatenate(
+        [jnp.asarray(m).reshape(b, -1, 4 * reg_max + nc) for m in raw_maps_nhwc], axis=1
+    )
+    dist = dfl_expectation(
+        flat[..., : 4 * reg_max].astype(jnp.float32).reshape(b, -1, 4, reg_max), reg_max
+    )
+    x1y1 = anchors[None] - dist[..., 0:2]
+    x2y2 = anchors[None] + dist[..., 2:4]
+    xywh = jnp.concatenate([(x1y1 + x2y2) * 0.5, x2y2 - x1y1], axis=-1) * stride_t[None]
+    scores = jax.nn.sigmoid(flat[..., 4 * reg_max :].astype(jnp.float32))
+    dets = batched_nms(
+        xywh2xyxy(xywh), scores, conf_thres=0.25, iou_thres=0.5,
+        max_detections=20, pre_nms_topk=256, mode="exact",
+    )
+    dets_np = []
+    for i in range(b):
+        v = np.asarray(dets["valid"][i])
+        rows = np.concatenate(
+            [
+                np.asarray(dets["boxes"][i])[v],
+                np.asarray(dets["scores"][i])[v, None],
+                np.asarray(dets["classes"][i])[v, None],
+            ],
+            axis=1,
+        ) if v.any() else np.zeros((0, 6))
+        dets_np.append(rows)
+    coco = coco_eval(dets_np, gts, nc)
+    vmap, _ = voc_map(dets_np, gts, nc)
+    return {"map50": coco["AP50"], "coco_ap": coco["AP"], "voc_map": vmap}
+
+
+# --------------------------------------------------------------------------
+# main
+# --------------------------------------------------------------------------
+
+
+def main():
+    steps = int(os.environ.get("PARITY_STEPS", "300"))
+    size = int(os.environ.get("PARITY_SIZE", "96"))
+    tol = float(os.environ.get("PARITY_TOL", "0.10"))
+
+    import torch
+    import torch.nn as nn
+
+    import jax
+    import jax.numpy as jnp
+
+    plat = os.environ.get("PARITY_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+    from transparent_object_detection_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from transparent_object_detection_tpu.config import ModelConfig, TrainConfig
+    from transparent_object_detection_tpu.data import DataLoader, DetectionDataset
+    from transparent_object_detection_tpu.models import FocusModel
+    from transparent_object_detection_tpu.train.optimizer import build_optimizer
+    from transparent_object_detection_tpu.train.trainer import (
+        create_train_state,
+        loss_config_from,
+        make_train_step,
+    )
+    from benchmarks.validate_e2e import make_dataset
+
+    torch.manual_seed(11)
+
+    with tempfile.TemporaryDirectory() as root:
+        lines = make_dataset(root, n=16, size=size)
+        # deterministic letterbox pipeline for BOTH frameworks: the parity
+        # subject is model+loss+training, not the augmentation RNG
+        ds = DetectionDataset(
+            lines, input_shape=(size, size), train=False, mosaic=False, mixup=False,
+            max_boxes=8, epoch_length=1000,
+        )
+        dl = DataLoader(ds, batch_size=8, shuffle=True, num_workers=2, seed=11)
+        gts = []
+        for ln in lines:
+            parts = ln.split()
+            box = [float(x) for x in parts[1].split(",")[:4]]
+            gts.append(np.asarray([box + [0.0]], dtype=np.float64))
+
+        # ---------------- torch reference (repaired) ------------------------
+        tm = build_repaired_torch_model(torch, nn, nc=1, c=16, d=1, dm=0.5)
+        crit = build_repaired_torch_loss(torch, tm)
+        opt = torch.optim.Adam(tm.parameters(), lr=1e-3)
+        tm.train()
+        it, epoch = 0, 0
+        while it < steps:
+            dl.set_epoch(epoch)
+            for batch in dl:
+                imgs = torch.from_numpy(batch["image"]).permute(0, 3, 1, 2)
+                rows = []
+                for bi in range(batch["boxes"].shape[0]):
+                    for mi in range(batch["boxes"].shape[1]):
+                        cx, cy, w, h = batch["boxes"][bi, mi]
+                        if w > 0 and h > 0:
+                            rows.append(
+                                [bi, batch["labels"][bi, mi], cx, cy, w, h]
+                            )
+                targets = torch.tensor(rows, dtype=torch.float32)
+                crit.assigner.bs = imgs.shape[0]
+                crit.assigner.n_max_boxes = max(
+                    1, int(np.bincount([int(r[0]) for r in rows]).max())
+                ) if rows else 1
+                opt.zero_grad()
+                maps = tm(imgs)
+                loss = crit(maps, targets)
+                loss.backward()
+                torch.nn.utils.clip_grad_norm_(tm.parameters(), 10.0)
+                opt.step()
+                it += 1
+                if it >= steps:
+                    break
+            epoch += 1
+        torch_loss = float(loss.item())
+
+        # eval: deterministic letterbox forward -> shared decode/NMS/mAP
+        eval_ds = DetectionDataset(
+            lines, input_shape=(size, size), train=False, max_boxes=8,
+        )
+        eval_imgs = np.stack([eval_ds[i]["image"] for i in range(len(lines))])
+        tm.eval()
+        with torch.no_grad():
+            # train-branch forward returns raw maps regardless of strides (B4)
+            tm.train()
+            for m in tm.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.eval()  # raw maps with running stats
+            tmaps = tm(torch.from_numpy(eval_imgs).permute(0, 3, 1, 2))
+            tmaps = [m.permute(0, 2, 3, 1).numpy() for m in tmaps]
+        torch_scores = decode_and_score(tmaps, gts)
+
+        # ---------------- this framework ------------------------------------
+        mc = ModelConfig(num_classes=1, input_shape=(size, size), compute_dtype="float32")
+        tc = TrainConfig(max_boxes=8, optimizer_type="adam", ema=False, weight_decay=0.0)
+        model = FocusModel(
+            num_classes=1, base_channels=16, base_depth=1, deep_mul=0.5,
+            dtype=jnp.float32,
+        )
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, size, size, 3), jnp.float32), train=True
+        )
+        tx = build_optimizer(tc, variables["params"])
+        state = create_train_state(model, variables, tx)
+        step_fn = make_train_step(model, tx, loss_config_from(mc, tc), tc, donate=False)
+        it, epoch = 0, 0
+        while it < steps:
+            dl.set_epoch(epoch)
+            for batch in dl:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                state, comps = step_fn(state, jb, jnp.asarray(1e-3, jnp.float32))
+                it += 1
+                if it >= steps:
+                    break
+            epoch += 1
+        jax_loss = float(comps["loss"])
+
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(eval_imgs), train=False, decode=False,
+        )
+        jmaps = [np.asarray(m, np.float32) for m in out["raw"]]
+        jax_scores = decode_and_score(jmaps, gts)
+
+    delta = abs(jax_scores["map50"] - torch_scores["map50"])
+    report = {
+        "steps": steps,
+        "size": size,
+        "torch_map50": round(torch_scores["map50"], 4),
+        "jax_map50": round(jax_scores["map50"], 4),
+        "torch_coco_ap": round(torch_scores["coco_ap"], 4),
+        "jax_coco_ap": round(jax_scores["coco_ap"], 4),
+        "torch_final_loss": round(torch_loss, 4),
+        "jax_final_loss": round(jax_loss, 4),
+        "map50_delta": round(delta, 4),
+        "tol": tol,
+        "ok": bool(delta <= tol and jax_scores["map50"] >= torch_scores["map50"] - tol),
+    }
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

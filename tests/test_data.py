@@ -218,3 +218,96 @@ def test_coco_converter(tmp_path):
     assert lines[0] == "/imgs/a.jpg 10,20,40,60,0 1,2,4,6,1"
     assert lines[1] == "/imgs/b.jpg"  # crowd skipped
     assert coco_category_remap(coco["categories"]) == {7: 0, 99: 1}
+
+
+# ---------------------------------------------------------------- sharding
+def _many_lines(fake_dataset, n=16):
+    # reuse the two fixture images with distinct boxes so indices are many
+    lines = []
+    for i in range(n):
+        path = fake_dataset[i % 2].split()[0]
+        lines.append(f"{path} {10 + i},10,{30 + i},40,0")
+    return lines
+
+
+def test_loader_shards_disjoint_and_covering(fake_dataset):
+    """Multi-host sharding semantics (the DistributedSampler analog,
+    reference train.py:389-404): per epoch, shards are pairwise disjoint and
+    their union covers the even split of the dataset."""
+    lines = _many_lines(fake_dataset, 16)
+    loaders = [
+        DataLoader(
+            DetectionDataset(lines, input_shape=(64, 64), train=False, max_boxes=4),
+            batch_size=2, shuffle=True, num_workers=1, seed=11,
+            shard_id=s, num_shards=4,
+        )
+        for s in range(4)
+    ]
+    for epoch in (0, 3):
+        shard_indices = []
+        for ld in loaders:
+            ld.set_epoch(epoch)
+            shard_indices.append(set(ld._epoch_indices().tolist()))
+        # disjoint
+        for a in range(4):
+            for b in range(a + 1, 4):
+                assert not (shard_indices[a] & shard_indices[b])
+        # covering the even split
+        assert set().union(*shard_indices) == set(range(16))
+        # equal per-shard load (no straggler host)
+        assert {len(s) for s in shard_indices} == {4}
+    # shuffle must actually change composition between epochs
+    loaders[0].set_epoch(0)
+    e0 = loaders[0]._epoch_indices().tolist()
+    loaders[0].set_epoch(1)
+    e1 = loaders[0]._epoch_indices().tolist()
+    assert e0 != e1
+
+
+def test_loader_shards_remainder_truncated(fake_dataset):
+    # 10 items over 4 shards -> 2 each, remainder dropped (even split)
+    lines = _many_lines(fake_dataset, 10)
+    sets = []
+    for s in range(4):
+        ld = DataLoader(
+            DetectionDataset(lines, input_shape=(64, 64), train=False, max_boxes=4),
+            batch_size=1, shuffle=False, num_workers=1, shard_id=s, num_shards=4,
+        )
+        sets.append(set(ld._epoch_indices().tolist()))
+    assert {len(x) for x in sets} == {2}
+    assert len(set().union(*sets)) == 8
+
+
+def test_loader_shards_feed_mesh(fake_dataset):
+    """Integration: per-shard loader batches concatenate to the global batch
+    and land sharded on the 8-device mesh (single-process multi-host analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    from transparent_object_detection_tpu.parallel import batch_sharding, make_mesh
+
+    lines = _many_lines(fake_dataset, 16)
+    num_shards = 8
+    per_shard_bs = 2
+    batches = []
+    for s in range(num_shards):
+        ld = DataLoader(
+            DetectionDataset(lines, input_shape=(64, 64), train=False, max_boxes=4),
+            batch_size=per_shard_bs, shuffle=True, num_workers=1, seed=11,
+            shard_id=s, num_shards=num_shards,
+        )
+        ld.set_epoch(0)
+        batches.append(next(iter(ld)))
+    global_batch = {
+        k: np.concatenate([b[k] for b in batches]) for k in batches[0]
+    }
+    assert global_batch["image"].shape[0] == num_shards * per_shard_bs
+
+    mesh = make_mesh()
+    sharding = batch_sharding(mesh)
+    device_batch = jax.device_put(jnp.asarray(global_batch["image"]), sharding)
+    assert len(device_batch.addressable_shards) == 8
+    total = jax.jit(lambda x: x.sum())(device_batch)
+    np.testing.assert_allclose(
+        float(total), float(global_batch["image"].sum()), rtol=1e-5
+    )
