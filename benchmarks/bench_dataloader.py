@@ -68,8 +68,30 @@ def main():
         dt = time.perf_counter() - t0
         aug_rate = n_imgs / dt
 
-        # native fused letterbox path (uint8 batch -> float32 canvas)
         result = {"augmented_imgs_per_sec": round(aug_rate, 1)}
+
+        # decode-free augmentation throughput: cache_images=True (decoded
+        # sources resident), isolating mosaic+mixup+HSV itself
+        ds_c = DetectionDataset(
+            lines, input_shape=(640, 640), train=True, mosaic=True,
+            mosaic_prob=0.5, mixup=True, mixup_prob=0.5, epoch_length=100,
+            max_boxes=128, cache_images=True,
+        )
+        dl_c = DataLoader(ds_c, batch_size=32, shuffle=True, num_workers=8)
+        dl_c.set_epoch(0)
+        for _ in dl_c:  # warm the cache (first epoch decodes)
+            pass
+        t0 = time.perf_counter()
+        n_imgs = 0
+        for _ in range(4):
+            dl_c.set_epoch(dl_c.epoch + 1)
+            for batch in dl_c:
+                n_imgs += batch["image"].shape[0]
+        result["augmented_cached_imgs_per_sec"] = round(
+            n_imgs / (time.perf_counter() - t0), 1
+        )
+
+        # native fused letterbox path (uint8 batch -> float32 canvas)
         if native.available():
             imgs = np.random.default_rng(1).integers(
                 0, 255, size=(32, 480, 640, 3), dtype=np.uint8

@@ -64,65 +64,165 @@ void letterbox_u8_to_f32(const uint8_t* src, int sh, int sw,
   }
 }
 
-// In-place HSV jitter on uint8 RGB, matching the reference's LUT semantics
-// (dataloader.py:121-133): hue rotated modulo 180 (OpenCV H range), sat/val
-// scaled and clipped. Gains: h_gain multiplies H, s_gain S, v_gain V.
+// HSV LUT tables for a jitter (hue rotated modulo 180 — the OpenCV uint8 H
+// range — sat/val scaled and clipped), cv2.LUT semantics.
+struct HsvLuts {
+  uint8_t h[256], s[256], v[256];
+};
+
+static inline void build_hsv_luts(HsvLuts& t, float h_gain, float s_gain,
+                                  float v_gain) {
+  for (int i = 0; i < 256; ++i) {
+    t.h[i] = (uint8_t)(((int)(i * h_gain + 0.5f)) % 180);
+    t.s[i] = (uint8_t)std::clamp((int)(i * s_gain + 0.5f), 0, 255);
+    t.v[i] = (uint8_t)std::clamp((int)(i * v_gain + 0.5f), 0, 255);
+  }
+}
+
+// Jitter one RGB pixel through HSV — no libm calls (lround/fmod cost ~4x
+// the whole conversion at one call site per channel).
+static inline void hsv_jitter_px(uint8_t* px, const HsvLuts& t) {
+  const int r = px[0], g = px[1], b = px[2];
+  int mx = r > g ? r : g;
+  if (b > mx) mx = b;
+  int mn = r < g ? r : g;
+  if (b < mn) mn = b;
+  const int d = mx - mn;
+  // RGB -> HSV (OpenCV uint8 convention: H in [0,180), S/V in [0,255])
+  int H = 0;
+  if (d > 0) {
+    float hh;
+    const float inv_d = 1.0f / d;
+    if (mx == r)
+      hh = 60.0f * (g - b) * inv_d;
+    else if (mx == g)
+      hh = 120.0f + 60.0f * (b - r) * inv_d;
+    else
+      hh = 240.0f + 60.0f * (r - g) * inv_d;
+    if (hh < 0) hh += 360.0f;
+    H = (int)(hh * 0.5f + 0.5f);
+    if (H > 179) H = 179;
+  }
+  const int S0 = mx > 0 ? (int)(d * 255.0f / mx + 0.5f) : 0;
+  const int H2 = t.h[H], S = t.s[S0], V = t.v[mx];
+  // HSV -> RGB
+  const float Hf = H2 * (2.0f / 60.0f);  // sector coordinate in [0, 6)
+  const int sector = (int)Hf;
+  float frac = Hf - sector;
+  if (sector & 1) frac = 1.0f - frac;    // |fmod(Hf, 2) - 1| without fmod
+  const float Vf = (float)V;
+  const float C = Vf * (S * (1.0f / 255.0f));
+  const float X = C * frac;
+  const float m = Vf - C;
+  float rf, gf, bf;
+  switch (sector) {
+    case 0:  rf = C; gf = X; bf = 0; break;
+    case 1:  rf = X; gf = C; bf = 0; break;
+    case 2:  rf = 0; gf = C; bf = X; break;
+    case 3:  rf = 0; gf = X; bf = C; break;
+    case 4:  rf = X; gf = 0; bf = C; break;
+    default: rf = C; gf = 0; bf = X; break;
+  }
+  px[0] = (uint8_t)std::clamp((int)(rf + m + 0.5f), 0, 255);
+  px[1] = (uint8_t)std::clamp((int)(gf + m + 0.5f), 0, 255);
+  px[2] = (uint8_t)std::clamp((int)(bf + m + 0.5f), 0, 255);
+}
+
+// In-place HSV jitter on uint8 RGB (dataloader.py:121-133 semantics).
 void hsv_jitter_u8(uint8_t* img, int h, int w,
                    float h_gain, float s_gain, float v_gain) {
-  // Precompute the three LUTs once (256 entries each), like cv2.LUT.
-  uint8_t lut_h[256], lut_s[256], lut_v[256];
-  for (int i = 0; i < 256; ++i) {
-    lut_h[i] = (uint8_t)((int)std::lround(i * h_gain) % 180);
-    lut_s[i] = (uint8_t)std::clamp((int)std::lround(i * s_gain), 0, 255);
-    lut_v[i] = (uint8_t)std::clamp((int)std::lround(i * v_gain), 0, 255);
-  }
-
+  HsvLuts t;
+  build_hsv_luts(t, h_gain, s_gain, v_gain);
 #pragma omp parallel for schedule(static)
   for (int y = 0; y < h; ++y) {
     uint8_t* row = img + (size_t)y * w * 3;
-    for (int x = 0; x < w; ++x) {
-      uint8_t* px = row + x * 3;
-      const float r = px[0], g = px[1], b = px[2];
-      const float mx = std::max({r, g, b});
-      const float mn = std::min({r, g, b});
-      const float d = mx - mn;
-      // RGB -> HSV (OpenCV uint8 convention: H in [0,180), S/V in [0,255])
-      float hh = 0.0f;
-      if (d > 0) {
-        if (mx == r)
-          hh = 60.0f * (g - b) / d;
-        else if (mx == g)
-          hh = 120.0f + 60.0f * (b - r) / d;
-        else
-          hh = 240.0f + 60.0f * (r - g) / d;
-        if (hh < 0) hh += 360.0f;
+    for (int x = 0; x < w; ++x) hsv_jitter_px(row + x * 3, t);
+  }
+}
+
+// Fused 4-image mosaic assembly: for every output pixel, compose
+// resize (bilinear, cv2 INTER_LINEAR center mapping) + horizontal flip +
+// quadrant paste in ONE pass — the numpy path resizes each tile, fills a
+// full-size scratch canvas per tile and copies a quadrant out of it
+// (data/augment.py::mosaic4), i.e. ~9 full-canvas passes; this does one.
+//
+// srcs: 4 uint8 RGB images, sizes in src_hw = [h0,w0,h1,w1,h2,w2,h3,w3].
+// geom: per tile [nw, nh, dx, dy, flip] (20 ints) — resized tile size and
+// its paste offset on the canvas. Quadrants (cutx, cuty): tile 0 covers
+// x<cutx,y<cuty; 1 x<cutx,y>=cuty; 2 x>=cutx,y>=cuty; 3 x>=cutx,y<cuty.
+// h_gain/s_gain/v_gain: HSV jitter applied to every output pixel in the
+// same pass (pass 1/1/1 to skip — the LUTs become identity-free fast path).
+void mosaic4_u8(const uint8_t* s0, const uint8_t* s1, const uint8_t* s2,
+                const uint8_t* s3, const int* src_hw, const int* geom,
+                uint8_t* dst, int dh, int dw, int cutx, int cuty,
+                uint8_t fill, float h_gain, float s_gain, float v_gain) {
+  const uint8_t* srcs[4] = {s0, s1, s2, s3};
+  // quadrant output regions (x1, y1, x2, y2), tile order 0 TL 1 BL 2 BR 3 TR
+  const int regions[4][4] = {
+      {0, 0, cutx, cuty}, {0, cuty, cutx, dh}, {cutx, cuty, dw, dh},
+      {cutx, 0, dw, cuty}};
+
+  for (int q = 0; q < 4; ++q) {
+    const int qx1 = regions[q][0], qy1 = regions[q][1];
+    const int qx2 = regions[q][2], qy2 = regions[q][3];
+    const int nw = geom[q * 5 + 0], nh = geom[q * 5 + 1];
+    const int dx = geom[q * 5 + 2], dy = geom[q * 5 + 3];
+    const int flip = geom[q * 5 + 4];
+    const int sh = src_hw[q * 2 + 0], sw = src_hw[q * 2 + 1];
+    const uint8_t* src = srcs[q];
+    // cv2 INTER_LINEAR pixel-center mapping, division hoisted per tile
+    const float xr = (float)sw / (float)nw, yr = (float)sh / (float)nh;
+    // columns of this quadrant covered by the tile
+    const int xs = std::max(qx1, dx), xe = std::min(qx2, dx + nw);
+
+#pragma omp parallel for schedule(static)
+    for (int y = qy1; y < qy2; ++y) {
+      uint8_t* row = dst + (size_t)y * dw * 3;
+      const int ry = y - dy;
+      if (ry < 0 || ry >= nh || xs >= xe) {
+        std::memset(row + (size_t)qx1 * 3, fill, (size_t)(qx2 - qx1) * 3);
+        continue;
       }
-      uint8_t H = (uint8_t)std::min(179, (int)(hh * 0.5f + 0.5f));
-      uint8_t S = (uint8_t)(mx > 0 ? std::lround(d / mx * 255.0f) : 0);
-      uint8_t V = (uint8_t)mx;
-      // LUT
-      H = lut_h[H];
-      S = lut_s[S];
-      V = lut_v[V];
-      // HSV -> RGB
-      const float Hf = H * 2.0f;  // back to degrees
-      const float Sf = S / 255.0f;
-      const float Vf = (float)V;
-      const float C = Vf * Sf;
-      const float X = C * (1.0f - std::fabs(std::fmod(Hf / 60.0f, 2.0f) - 1.0f));
-      const float m = Vf - C;
-      float rf, gf, bf;
-      if (Hf < 60)       { rf = C; gf = X; bf = 0; }
-      else if (Hf < 120) { rf = X; gf = C; bf = 0; }
-      else if (Hf < 180) { rf = 0; gf = C; bf = X; }
-      else if (Hf < 240) { rf = 0; gf = X; bf = C; }
-      else if (Hf < 300) { rf = X; gf = 0; bf = C; }
-      else               { rf = C; gf = 0; bf = X; }
-      px[0] = (uint8_t)std::clamp((int)std::lround(rf + m), 0, 255);
-      px[1] = (uint8_t)std::clamp((int)std::lround(gf + m), 0, 255);
-      px[2] = (uint8_t)std::clamp((int)std::lround(bf + m), 0, 255);
+      if (xs > qx1) std::memset(row + (size_t)qx1 * 3, fill, (size_t)(xs - qx1) * 3);
+      if (qx2 > xe) std::memset(row + (size_t)xe * 3, fill, (size_t)(qx2 - xe) * 3);
+
+      float sy = (ry + 0.5f) * yr - 0.5f;
+      sy = std::min(std::max(sy, 0.0f), (float)(sh - 1));
+      const int y0 = (int)sy;
+      const int y1 = std::min(y0 + 1, sh - 1);
+      const float fy = sy - y0;
+      const uint8_t* r0p = src + (size_t)y0 * sw * 3;
+      const uint8_t* r1p = src + (size_t)y1 * sw * 3;
+      for (int x = xs; x < xe; ++x) {
+        int rx = x - dx;
+        if (flip) rx = nw - 1 - rx;
+        float sx = (rx + 0.5f) * xr - 0.5f;
+        sx = std::min(std::max(sx, 0.0f), (float)(sw - 1));
+        const int x0 = (int)sx;
+        const int x1 = std::min(x0 + 1, sw - 1);
+        const float fx = sx - x0;
+        const float w00 = (1 - fy) * (1 - fx), w01 = (1 - fy) * fx;
+        const float w10 = fy * (1 - fx), w11 = fy * fx;
+        uint8_t* px = row + (size_t)x * 3;
+        for (int c = 0; c < 3; ++c) {
+          const float v = w00 * r0p[x0 * 3 + c] + w01 * r0p[x1 * 3 + c] +
+                          w10 * r1p[x0 * 3 + c] + w11 * r1p[x1 * 3 + c];
+          px[c] = (uint8_t)std::clamp((int)(v + 0.5f), 0, 255);
+        }
+      }
     }
   }
+
+  // optional HSV jitter over the assembled canvas
+  if (h_gain != 1.0f || s_gain != 1.0f || v_gain != 1.0f)
+    hsv_jitter_u8(dst, dh, dw, h_gain, s_gain, v_gain);
+}
+
+// 0.5/0.5 uint8 blend (reference mixup, dataloader.py:280-288) — one pass,
+// no float temporaries.
+void blend_half_u8(const uint8_t* a, const uint8_t* b, uint8_t* dst, long n) {
+#pragma omp parallel for schedule(static)
+  for (long i = 0; i < n; ++i) dst[i] = (uint8_t)(((int)a[i] + (int)b[i]) >> 1);
 }
 
 // Batched letterbox: N same-size images -> one contiguous float32 NHWC

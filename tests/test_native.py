@@ -50,3 +50,38 @@ def test_hsv_jitter_value_gain_brightens():
     img = np.full((16, 16, 3), 100, dtype=np.uint8)
     out = native.hsv_jitter_u8(img.copy(), 1.0, 1.0, 1.4)
     assert out.mean() > 130
+
+
+def test_mosaic4_native_matches_numpy_fallback(rng):
+    """The fused mosaic kernel reproduces the cv2/numpy path: identical RNG
+    stream (same boxes), pixel field within bilinear rounding tolerance."""
+    from transparent_object_detection_tpu.data import augment, native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+
+    imgs = [
+        rng.integers(0, 255, size=(np.random.randint(40, 90), np.random.randint(40, 90), 3)).astype(np.uint8)
+        for _ in range(4)
+    ]
+    boxes = [
+        np.asarray([[5, 5, 30, 30, 0]], dtype=np.float32) for _ in range(4)
+    ]
+
+    import os
+
+    os.environ["TOD_NATIVE_MOSAIC"] = "1"
+    try:
+        out_n, boxes_n = augment.mosaic4(imgs, boxes, (96, 96), np.random.default_rng(5))
+    finally:
+        os.environ.pop("TOD_NATIVE_MOSAIC", None)
+
+    # numpy/cv2 path (the default) with the same RNG stream
+    out_p, boxes_p = augment.mosaic4(imgs, boxes, (96, 96), np.random.default_rng(5))
+
+    np.testing.assert_allclose(boxes_n, boxes_p, atol=1e-5)
+    # pixel parity: bilinear fixed-point (cv2) vs float (native) plus the
+    # HSV round trip -> small per-pixel differences allowed
+    diff = np.abs(out_n.astype(np.int16) - out_p.astype(np.int16))
+    assert float(diff.mean()) < 3.0, float(diff.mean())
+    assert np.mean(diff > 16) < 0.02  # <2% of pixels off by >16

@@ -43,9 +43,16 @@ class DetectionDataset:
     special_aug_ratio: float = 0.7
     max_boxes: int = 128
     seed: int = 11
+    # Keep decoded uint8 images in RAM (the ultralytics cache=True analog):
+    # JPEG decode dominates the augmented pipeline (~5 ms per 640x480 source
+    # vs ~4 ms for a whole fused mosaic), so epochs after the first run
+    # decode-free. Budget ~1 MB per VGA image; leave off for datasets that
+    # don't fit host RAM.
+    cache_images: bool = False
 
     def __post_init__(self):
         self.epoch_now = -1
+        self._image_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         if not self.annotation_lines:
             raise ValueError("empty annotation list")
 
@@ -58,8 +65,15 @@ class DetectionDataset:
         )
 
     def _load(self, line: str) -> Tuple[np.ndarray, np.ndarray]:
+        if self.cache_images:
+            hit = self._image_cache.get(line)
+            if hit is not None:
+                return hit
         path, boxes = parse_annotation_line(line)
-        return load_rgb(path), boxes
+        out = (load_rgb(path), boxes)
+        if self.cache_images:
+            self._image_cache[line] = out
+        return out
 
     def _single(self, line: str, rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
         image, boxes = self._load(line)
@@ -99,7 +113,7 @@ class DetectionDataset:
         """HWC uint8 + pixel xyxy boxes -> fixed-shape training sample
         (the collate contract, dataloader.py:44-58 lifted to padded form)."""
         h, w = self.input_shape
-        img = image.astype(np.float32) / 255.0
+        img = np.multiply(image, np.float32(1.0 / 255.0), dtype=np.float32)
 
         m = self.max_boxes
         out_boxes = np.zeros((m, 4), dtype=np.float32)

@@ -73,6 +73,12 @@ def _load() -> Optional[ctypes.CDLL]:
             c_float,
         ]
         lib.hsv_jitter_u8.argtypes = [u8p, c_int, c_int, c_float, c_float, c_float]
+        i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+        lib.mosaic4_u8.argtypes = [
+            u8p, u8p, u8p, u8p, i32p, i32p, u8p, c_int, c_int, c_int, c_int,
+            ctypes.c_uint8, c_float, c_float, c_float,
+        ]
+        lib.blend_half_u8.argtypes = [u8p, u8p, u8p, ctypes.c_long]
         _LIB = lib
         return _LIB
 
@@ -114,6 +120,49 @@ def letterbox_batch_u8(
     images = np.ascontiguousarray(images)
     out = np.empty((n, h, w, 3), dtype=np.float32)
     lib.letterbox_batch_u8_to_f32(images, n, sh, sw, out, h, w, nh, nw, dx, dy, fill)
+    return out
+
+
+def mosaic4_u8(
+    images,
+    geom: np.ndarray,
+    out_shape: Tuple[int, int],
+    cutx: int,
+    cuty: int,
+    fill: int = 128,
+    hsv_gains: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> np.ndarray:
+    """Fused mosaic assembly: 4 uint8 RGB sources -> (h, w, 3) uint8 canvas.
+
+    geom: (4, 5) int32 [nw, nh, dx, dy, flip] per tile (quadrant order
+    0 TL, 1 BL, 2 BR, 3 TR). One pass over the output — resize + flip +
+    quadrant paste + optional HSV jitter composed per pixel.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native preprocessing unavailable")
+    h, w = out_shape
+    srcs = [np.ascontiguousarray(im) for im in images]
+    src_hw = np.asarray([d for im in srcs for d in im.shape[:2]], dtype=np.int32)
+    geom = np.ascontiguousarray(geom, dtype=np.int32)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    lib.mosaic4_u8(
+        srcs[0], srcs[1], srcs[2], srcs[3], src_hw, geom, out, h, w,
+        int(cutx), int(cuty), fill,
+        float(hsv_gains[0]), float(hsv_gains[1]), float(hsv_gains[2]),
+    )
+    return out
+
+
+def blend_half_u8(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """0.5/0.5 uint8 blend (mixup) in one pass."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native preprocessing unavailable")
+    a = np.ascontiguousarray(a)
+    b = np.ascontiguousarray(b)
+    out = np.empty_like(a)
+    lib.blend_half_u8(a, b, out, a.size)
     return out
 
 
