@@ -47,7 +47,10 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     phi = os.environ.get("BENCH_PHI", "s")
-    cfg = ModelConfig(num_classes=1, phi=phi, input_shape=(640, 640))
+    int8 = os.environ.get("BENCH_INT8", "0") == "1"
+    int8_attn = os.environ.get("BENCH_INT8_ATTN", "1" if int8 else "0") == "1"
+    cfg = ModelConfig(num_classes=1, phi=phi, input_shape=(640, 640),
+                      int8_dense=int8, int8_attn=int8 and int8_attn)
     model = build_model(cfg)
     variables = init_variables(model, cfg, seed=0)
     pred_cfg = PredictConfig(confidence=0.25, nms_iou=0.5, max_detections=100,
@@ -74,7 +77,9 @@ def main():
 
     # backbone + neck
     neck = Neck(cfg.base_channels, cfg.base_depth, cfg.deep_mul,
-                num_heads=cfg.num_heads, dtype=jnp.bfloat16)
+                num_heads=cfg.num_heads, dtype=jnp.bfloat16,
+                lane_align_heads=cfg.lane_align_heads, int8_dense=cfg.int8_dense,
+                int8_attn=cfg.int8_attn)
     nk_vars = {
         "params": variables["params"]["neck"],
         "batch_stats": variables["batch_stats"]["neck"],

@@ -124,7 +124,7 @@ def main(steps: int = 400, size: int = None):
             # int8-TEB model (parameter tree is identical by construction)
             q_model = FocusModel(
                 num_classes=1, base_channels=16, base_depth=1, deep_mul=0.5,
-                num_heads=4, dtype=jnp.float32, int8_dense=True,
+                num_heads=4, dtype=jnp.float32, int8_dense=True, int8_attn=True,
             )
             q_cb = EvalCallback(
                 mc, lines, ["Transparent"], log_dir=root, confidence=0.25,

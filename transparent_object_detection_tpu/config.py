@@ -56,6 +56,11 @@ class ModelConfig:
     # bf16-trained checkpoint deploys as int8 directly. The bf16 FLOP
     # ceiling at phi='s' 640^2 is ~142 imgs/s/chip on v5e; int8 raises it.
     int8_dense: bool = False
+    # Serving quantization for the neck TEB attention itself: int8 flash
+    # kernel (ops/attention_int8.py) — q per-row scales, k/v per-block
+    # scales, fixed-scale softmax weights. Eval-only; training stays on the
+    # bf16 flash VJP path.
+    int8_attn: bool = False
 
     @property
     def scale(self) -> Tuple[int, int, float]:

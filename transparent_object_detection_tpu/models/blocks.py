@@ -47,6 +47,11 @@ class ConvBNAct(nn.Module):
     Padding is explicit-symmetric (k//2 each side) rather than XLA 'SAME' so
     stride-2 feature maps align with the reference's grid — required for
     checkpoint-importing torch weights without a one-pixel shift.
+
+    Stays bf16 under int8 serving: XLA's int8 conv_general_dilated measured
+    SLOWER than bf16 on v5e (45-92 TOPS vs 52-126 TF/s across the phi='s'
+    backbone conv shapes — the int8 conv path doesn't reach the doubled MXU
+    rate), so convs are not quantized. See docs/ROADMAP.md.
     """
 
     features: int
@@ -309,6 +314,37 @@ class QuantDense(nn.Module):
         return out.astype(self.dtype)
 
 
+class _LNParams(nn.Module):
+    """Parameter twin of nn.LayerNorm (same names/shapes/inits) for the fused
+    int8 TEB path — the LayerNorm math runs inside the Pallas kernel
+    (ops/quant_matmul.py), so only the parameters are declared here.
+    Checkpoints are interchangeable with the bf16 path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[Array, Array]:
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Parameter twin of nn.Dense (kernel + bias, same inits) for the fused
+    int8 TEB path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> Tuple[Array, Array]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 def _pick_num_heads(channels: int, requested: int, lane_align: bool = True) -> int:
     """Head count <= requested that divides the channel width, preferring
     lane-aligned head dims.
@@ -352,8 +388,10 @@ class TransformerEncoderBlock(nn.Module):
     lane_align_heads: bool = True
     # int8 serving path: the four projections run as QuantDense (same param
     # tree — bf16-trained checkpoints load unchanged). Attention itself
-    # stays bf16 flash.
+    # stays bf16 flash unless int8_attn is also set.
     int8_dense: bool = False
+    # int8 flash attention kernel at eval time (ops/attention_int8.py)
+    int8_attn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -364,13 +402,55 @@ class TransformerEncoderBlock(nn.Module):
         heads = _pick_num_heads(c, self.num_heads, self.lane_align_heads)
         dh = c // heads
         tokens = x.reshape(b, n, c)
+        scale = 1.0 / math.sqrt(dh)
+        int8_attn = self.int8_attn and not train
 
         if self.int8_dense:
-            dense = lambda f, name: QuantDense(f, dtype=self.dtype, name=name)
-        else:
-            dense = lambda f, name: nn.Dense(
-                f, dtype=self.dtype, param_dtype=jnp.float32, name=name
+            # Fused serving path: each projection is ONE Pallas launch doing
+            # [LayerNorm ->] dynamic-int8 quantize -> int8 MXU matmul ->
+            # [bias/gelu/residual] (ops/quant_matmul.py). Parameter tree is
+            # identical to the bf16 branch below (param-twin modules), so
+            # bf16-trained checkpoints deploy unchanged.
+            from transparent_object_detection_tpu.ops.quant_matmul import (
+                quant_matmul,
+                quantize_weights,
             )
+
+            ln1_s, ln1_b = _LNParams(c, name="norm1")()
+            ln2_s, ln2_b = _LNParams(c, name="norm2")()
+            qkv_w, qkv_b = _DenseParams(3 * c, name="qkv")(c)
+            ao_w, ao_b = _DenseParams(c, name="attn_out")(c)
+            m1_w, m1_b = _DenseParams(c * self.mlp_ratio, name="mlp1")(c)
+            m2_w, m2_b = _DenseParams(c, name="mlp2")(c * self.mlp_ratio)
+
+            wq, ws = quantize_weights(qkv_w)
+            qkv = quant_matmul(
+                tokens, wq, ws, bias=qkv_b, ln_scale=ln1_s, ln_bias=ln1_b,
+                out_dtype=self.dtype,
+            )
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            o = attention(
+                q, k, v, scale=scale, impl=self.attention_impl,
+                num_heads=heads, int8=int8_attn,
+            )
+            wq, ws = quantize_weights(ao_w)
+            tokens = quant_matmul(
+                o, wq, ws, bias=ao_b, residual=tokens, out_dtype=self.dtype
+            )
+            wq, ws = quantize_weights(m1_w)
+            z = quant_matmul(
+                tokens, wq, ws, bias=m1_b, ln_scale=ln2_s, ln_bias=ln2_b,
+                act="gelu", out_dtype=self.dtype,
+            )
+            wq, ws = quantize_weights(m2_w)
+            tokens = quant_matmul(
+                z, wq, ws, bias=m2_b, residual=tokens, out_dtype=self.dtype
+            )
+            return tokens.reshape(b, h, w, c)
+
+        dense = lambda f, name: nn.Dense(
+            f, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
 
         y = nn.LayerNorm(dtype=self.norm_dtype, param_dtype=jnp.float32, name="norm1")(tokens)
         y = y.astype(self.dtype)
@@ -379,8 +459,8 @@ class TransformerEncoderBlock(nn.Module):
         # heads stay packed in the channel axis; the multi-head flash kernel
         # grids over them (no HBM transpose when head_dim is 128-aligned)
         o = attention(
-            q, k, v, scale=1.0 / math.sqrt(dh), impl=self.attention_impl,
-            num_heads=heads,
+            q, k, v, scale=scale, impl=self.attention_impl,
+            num_heads=heads, int8=int8_attn,
         )
         y = dense(c, "attn_out")(o)
         tokens = tokens + y

@@ -37,6 +37,8 @@ class FocusModel(nn.Module):
     lane_align_heads: bool = True
     # int8 TEB projections (serving); bf16-trained params load unchanged
     int8_dense: bool = False
+    # int8 flash attention in the TEBs (serving)
+    int8_attn: bool = False
 
     @property
     def head_filters(self) -> Tuple[int, int, int]:
@@ -68,6 +70,7 @@ class FocusModel(nn.Module):
             norm_dtype=self.norm_dtype,
             lane_align_heads=self.lane_align_heads,
             int8_dense=self.int8_dense,
+            int8_attn=self.int8_attn,
             remat=self.remat,
             name="neck",
         )(feats, train)
@@ -100,6 +103,7 @@ def build_model(cfg: ModelConfig) -> FocusModel:
         norm_dtype=jnp.dtype(cfg.norm_dtype),
         lane_align_heads=cfg.lane_align_heads,
         int8_dense=cfg.int8_dense,
+        int8_attn=cfg.int8_attn,
     )
 
 

@@ -42,12 +42,14 @@ class FusionNode(nn.Module):
     norm_dtype: Any = jnp.float32
     lane_align_heads: bool = True
     int8_dense: bool = False
+    int8_attn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = TransformerEncoderBlock(
             num_heads=self.num_heads, dtype=self.dtype, norm_dtype=self.norm_dtype,
             lane_align_heads=self.lane_align_heads, int8_dense=self.int8_dense,
+            int8_attn=self.int8_attn,
             name="teb",
         )(x, train)
         x = ConvBNAct(self.out_features, 1, dtype=self.dtype, name="reduce")(x, train)
@@ -63,6 +65,7 @@ class Neck(nn.Module):
     norm_dtype: Any = jnp.float32
     lane_align_heads: bool = True
     int8_dense: bool = False
+    int8_attn: bool = False
     # Rematerialize fusion nodes in the backward pass: the TEBs hold the
     # largest activations in the network (up to 2048ch x 80x80 tokens); remat
     # trades ~1/3 extra neck FLOPs for a large HBM saving during training
@@ -81,6 +84,7 @@ class Neck(nn.Module):
         node_cls = functools.partial(
             node_cls, norm_dtype=self.norm_dtype,
             lane_align_heads=self.lane_align_heads, int8_dense=self.int8_dense,
+            int8_attn=self.int8_attn,
         )
 
         # top-down

@@ -61,10 +61,20 @@ def stop_flop_log() -> list:
     return log or []
 
 
-def _log_flash_launch(b: int, n: int, cq: int, cv: int) -> None:
+def _log_flash_launch(b: int, n: int, cq: int, cv: int, int8: bool = False) -> None:
     if _FLOP_LOG is not None:
         _FLOP_LOG.append({"batch": b, "n": n, "cq": cq, "cv": cv,
+                          "int8": int8,
                           "flops": 2.0 * b * n * n * (cq + cv)})
+
+
+def log_custom_flops(flops: float, int8: bool = False) -> None:
+    """Record FLOPs of a non-attention custom call (e.g. the fused int8
+    matmul) so MFU accounting sees work XLA's cost analysis reports as 0.
+    int8 ops are tagged so MFU math can count them against the int8 MXU
+    peak (2x bf16 on v5e) instead of the bf16 peak."""
+    if _FLOP_LOG is not None:
+        _FLOP_LOG.append({"flops": flops, "int8": int8})
 
 
 def _maybe_shard_map(fn):
@@ -355,6 +365,7 @@ def attention(
     block_q: int = 1024,
     block_k: int = 1024,
     num_heads: int = 1,
+    int8: bool = False,
 ) -> Array:
     """Dispatching front-end. impl: None (auto) | 'xla' | 'chunked' | 'pallas'.
 
@@ -362,6 +373,10 @@ def attention(
     (the fused-qkv layout) and attention runs per head. Auto picks pallas on
     TPU backends, chunked elsewhere; tiny maps (N <= 1024) always take the
     naive path — the N² matrix is small enough that XLA's fusion wins.
+
+    int8=True (serving only) tries the int8 flash kernel on large maps —
+    2x the MXU rate, ~1-2% relative output error (validated end-to-end);
+    falls back to the bf16 path when shapes don't tile.
     """
     b, n, c = q.shape
     if impl is None:
@@ -369,6 +384,23 @@ def attention(
             impl = "xla"
         else:
             impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "chunked"
+
+    if int8 and impl == "pallas":
+        from transparent_object_detection_tpu.ops.attention_int8 import (
+            flash_attention_mha_int8,
+            pick_blocks,
+        )
+
+        blocks = pick_blocks(n, c, num_heads)
+        if blocks is not None:
+            _log_flash_launch(b, n, c, v.shape[-1], int8=True)
+            launch = _maybe_shard_map(
+                functools.partial(
+                    flash_attention_mha_int8, num_heads=num_heads, scale=scale,
+                    block_q=blocks[0], block_k=blocks[1],
+                )
+            )
+            return launch(q, k, v)
 
     # Measured on v5e (N=6400, dh=256): narrow-q / wide-kv tiles win — the
     # kv axis is the sequential grid dim, so a wide k/v block amortizes the

@@ -1,0 +1,210 @@
+"""int8 flash attention — serving-path Pallas kernel.
+
+Halves the MXU time of the neck's dominant attention (80x80 = 6,400 tokens
+at C=1536 is ~0.25 TFLOP/img of score math) by running both score and
+output matmuls as int8 x int8 -> int32 (2x the bf16 MXU rate on v5e), while
+keeping the online-softmax statistics in f32.
+
+Quantization layout is chosen so the dequantization stays off the VPU hot
+path (the score-tile elementwise work is what bounds an int8 flash kernel):
+
+  * q: per-row (per-query) int8, quantized in VMEM once per q-tile; the
+    row scale folds into the score dequant as a rank-1 multiply.
+  * k, v: per-(batch, head, kv-block) scalar scales, pre-quantized OUTSIDE
+    the kernel in one XLA pass — the kernel then streams int8 k/v from HBM
+    (half the bytes of the bf16 kernel) and dequantizes scores by a scalar.
+  * p (softmax weights): p = exp(s - rowmax) <= 1, so a FIXED scale of 127
+    quantizes it — no per-row max/divide, just round(p * 127). The p @ v
+    dot dequantizes by the scalar vs_block / 127.
+
+Accuracy: int8 q/k scores carry ~1% relative error pre-softmax and the p
+quantization drops weights below 1/254 — both validated end-to-end (see
+benchmarks/validate_e2e.py E2E_INT8 mode, which asserts mAP parity with the
+bf16 path). Serving-only: training takes the bf16 flash VJP path.
+
+Replaces the FLOP-heaviest part of the reference's neck/backbone attention
+(reference model/blocks.py:226-289, fp32 torch matmuls).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+Array = jax.Array
+
+# Flip to run through the Pallas interpreter (CPU tests).
+INTERPRET = False
+
+
+def _quantize_kv(x: Array, num_heads: int, block_k: int) -> Tuple[Array, Array]:
+    """(B, N, H*dh) bf16 -> ((B, N, H*dh) int8, (B, H, N/bk) f32 scales).
+
+    Scales are absmax over each (kv-block, head) slab / 127 — coarse on
+    purpose: the kernel dequantizes with a scalar instead of a vector.
+    """
+    b, n, c = x.shape
+    dh = c // num_heads
+    xf = x.astype(jnp.float32).reshape(b, n // block_k, block_k, num_heads, dh)
+    s = jnp.max(jnp.abs(xf), axis=(2, 4)) / 127.0  # (B, nk, H)
+    s = jnp.maximum(s, 1e-12)
+    xq = jnp.round(xf / s[:, :, None, :, None]).astype(jnp.int8)
+    return xq.reshape(b, n, c), s.transpose(0, 2, 1)  # scales (B, H, nk)
+
+
+def _mha_flash_int8_kernel(
+    q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
+    qq_scr, qs_scr, m_scr, l_scr, acc_scr, *, scale: float,
+):
+    """(batch, head, q-block, kv-block) grid step; kv innermost/sequential.
+
+    Refs: q (1, bq, dh) bf16; kq/vq (1, bk, dh) int8; ks/vs (1, H, nk) f32
+    full per-batch scale tables (tiny; a (1,1,1) block would violate the
+    TPU (8,128) block-tiling rule) indexed by the head/kv-block program
+    ids; o (1, bq, dh) bf16.
+    Scratch: qq (bq, dh) int8, qs (bq, 128) f32, m/l (bq, 128) f32,
+    acc (bq, dh) f32.
+    """
+    hi = pl.program_id(1)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        qf = q_ref[0].astype(jnp.float32)
+        qs = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0  # (bq, 1)
+        qs = jnp.maximum(qs, 1e-12)
+        qq_scr[...] = jnp.round(qf / qs).astype(jnp.int8)
+        qs_scr[:, 0:1] = qs
+
+    s32 = jax.lax.dot_general(
+        qq_scr[...], kq_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (bq, bk) int8 MXU
+    # rank-1 dequant: per-row q scale x scalar (k-block scale * softmax scale)
+    row_scale = qs_scr[:, 0:1] * (ks_ref[0, hi, ki] * scale)  # (bq, 1)
+    s = s32.astype(jnp.float32) * row_scale
+
+    m_prev = m_scr[:, 0:1]
+    l_prev = l_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    # fold the fixed p-quantization scale into the exp: p127 = 127 * p.
+    # l accumulates in 127-units; the final o = acc/l cancels the factor.
+    p127 = jnp.exp(s - (m_new - 4.8441870864585885))  # ln(127)
+    correction = jnp.exp(m_prev - m_new)
+    l_scr[:, 0:1] = l_prev * correction + jnp.sum(p127, axis=-1, keepdims=True)
+    pq = jnp.round(p127).astype(jnp.int8)
+    pv32 = jax.lax.dot_general(
+        pq, vq_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (bq, dh) int8 MXU
+    # acc is 127-scaled like l (pq ~ 127 p), so the final acc/l cancels it
+    acc_scr[:] = acc_scr[:] * correction + pv32.astype(jnp.float32) * vs_ref[0, hi, ki]
+    m_scr[:, 0:1] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "block_q", "block_k")
+)
+def flash_attention_mha_int8(
+    q: Array, k: Array, v: Array, num_heads: int, scale: float,
+    block_q: int, block_k: int,
+) -> Array:
+    """int8 streaming attention on head-packed (B, N, H*dh) bf16 arrays.
+
+    dh must be a multiple of 128 and N a multiple of the (32-aligned)
+    blocks — the `attention` dispatcher guarantees this before calling.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = q.shape
+    d = c // num_heads
+    kq, ks = _quantize_kv(k, num_heads, block_k)
+    vq, vs = _quantize_kv(v, num_heads, block_k)
+    grid = (b, num_heads, n // block_q, n // block_k)
+    return pl.pallas_call(
+        functools.partial(_mha_flash_int8_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
+            pl.BlockSpec((1, block_k, d), lambda bi, hi, qi, ki: (bi, ki, hi)),
+            pl.BlockSpec(
+                (1, num_heads, n // block_k), lambda bi, hi, qi, ki: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, block_k, d), lambda bi, hi, qi, ki: (bi, ki, hi)),
+            pl.BlockSpec(
+                (1, num_heads, n // block_k), lambda bi, hi, qi, ki: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.int8),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(q, kq, ks, vq, vs)
+
+
+def _block32(n: int, preferred: int) -> Optional[int]:
+    """Largest block <= preferred dividing n, multiple of 32 (int8 sublane)."""
+    for b in range(min(preferred, n) // 32 * 32, 31, -32):
+        if n % b == 0:
+            return b
+    return None
+
+
+def pick_blocks(
+    n: int, c: int, num_heads: int,
+    block_q: Optional[int] = None, block_k: Optional[int] = None,
+) -> Optional[Tuple[int, int]]:
+    """(bq, bk) for the int8 kernel, or None when shapes don't tile (the
+    caller falls back to the bf16 path). Blocks are 32-aligned (int8 sublane
+    tiling) divisors of N; dh must be a 128-lane multiple.
+
+    Measured on v5e at the phi='s' h2 shape (N=6400, 6x256): a FULL-WIDTH kv
+    block (one sequential step — the running-max/normalizer rescale work
+    disappears and int8 k/v tiles are half-size) runs 40.8 ms vs 68.9 ms for
+    bk=3200 and 57.4 ms for the bf16 kernel: 197 TOPS. So bk defaults to N
+    (capped at 6400 so the f32 score tile stays inside VMEM), with a
+    narrower q block when kv is wide."""
+    if num_heads < 1 or c % num_heads or (c // num_heads) % 128:
+        return None
+    if block_k is None:
+        block_k = n if n <= 6400 else 6400
+    if block_q is None:
+        block_q = 320 if block_k >= 3200 else 512
+    bq = _block32(n, block_q)
+    bk = _block32(n, block_k)
+    if bq is None or bk is None:
+        return None
+    return bq, bk
+
+
+def attention_int8(
+    q: Array, k: Array, v: Array, scale: float, num_heads: int,
+    block_q: Optional[int] = None, block_k: Optional[int] = None,
+) -> Optional[Array]:
+    """Dispatch wrapper: int8 flash when shapes tile cleanly, else None."""
+    blocks = pick_blocks(q.shape[1], q.shape[2], num_heads, block_q, block_k)
+    if blocks is None:
+        return None
+    return flash_attention_mha_int8(q, k, v, num_heads, scale, *blocks)
