@@ -411,10 +411,7 @@ class TransformerEncoderBlock(nn.Module):
             # [bias/gelu/residual] (ops/quant_matmul.py). Parameter tree is
             # identical to the bf16 branch below (param-twin modules), so
             # bf16-trained checkpoints deploy unchanged.
-            from transparent_object_detection_tpu.ops.quant_matmul import (
-                quant_matmul,
-                quantize_weights,
-            )
+            from transparent_object_detection_tpu.ops.quant_matmul import quant_matmul
 
             ln1_s, ln1_b = _LNParams(c, name="norm1")()
             ln2_s, ln2_b = _LNParams(c, name="norm2")()
@@ -423,9 +420,8 @@ class TransformerEncoderBlock(nn.Module):
             m1_w, m1_b = _DenseParams(c * self.mlp_ratio, name="mlp1")(c)
             m2_w, m2_b = _DenseParams(c, name="mlp2")(c * self.mlp_ratio)
 
-            wq, ws = quantize_weights(qkv_w)
             qkv = quant_matmul(
-                tokens, wq, ws, bias=qkv_b, ln_scale=ln1_s, ln_bias=ln1_b,
+                tokens, qkv_w, bias=qkv_b, ln_scale=ln1_s, ln_bias=ln1_b,
                 out_dtype=self.dtype,
             )
             q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -433,18 +429,15 @@ class TransformerEncoderBlock(nn.Module):
                 q, k, v, scale=scale, impl=self.attention_impl,
                 num_heads=heads, int8=int8_attn,
             )
-            wq, ws = quantize_weights(ao_w)
             tokens = quant_matmul(
-                o, wq, ws, bias=ao_b, residual=tokens, out_dtype=self.dtype
+                o, ao_w, bias=ao_b, residual=tokens, out_dtype=self.dtype
             )
-            wq, ws = quantize_weights(m1_w)
             z = quant_matmul(
-                tokens, wq, ws, bias=m1_b, ln_scale=ln2_s, ln_bias=ln2_b,
+                tokens, m1_w, bias=m1_b, ln_scale=ln2_s, ln_bias=ln2_b,
                 act="gelu", out_dtype=self.dtype,
             )
-            wq, ws = quantize_weights(m2_w)
             tokens = quant_matmul(
-                z, wq, ws, bias=m2_b, residual=tokens, out_dtype=self.dtype
+                z, m2_w, bias=m2_b, residual=tokens, out_dtype=self.dtype
             )
             return tokens.reshape(b, h, w, c)
 

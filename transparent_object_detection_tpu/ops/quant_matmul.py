@@ -14,16 +14,31 @@ activation elementwise — pure HBM bandwidth with zero MXU work.
 This kernel fuses the whole pipeline into one pallas_call:
 
   grid (M/bm, N/bn), N innermost:
-    ni == 0:  read the (bm, K) bf16 activation tile once; optional LayerNorm
-              (row mean/var in VMEM), per-row absmax scale, quantize to int8
+    ni == 0:  read the (bm, K) bf16 activation tile once; quantize to int8
               in VMEM (Mosaic skips the x DMA on ni > 0 — block index
               unchanged)
     every ni: int8 x int8 -> int32 MXU dot (2x the bf16 rate on v5e) against
               the streamed (K, bn) weight tile; epilogue = rank-1 dequant
               (+bias) (+gelu) (+residual) in registers; write bf16
 
-Weights are pre-quantized at trace time (per-output-channel symmetric int8;
-XLA folds the one O(K*N) pass) — see quantize_weights().
+The LayerNorm is algebraically split so the prologue's VPU cost stays low
+(the per-m-tile prologue is the kernel's serial bottleneck on narrow-N
+projections):
+
+  * the affine (gamma, beta) folds into the weights at trace time:
+        LN(x) @ W + b  ==  z @ (gamma[:, None] * W) + (beta @ W + b)
+    where z is the normalized-but-unscaled activation — zero per-element
+    cost in the kernel (see _fold_ln);
+  * the 1/sqrt(var) factor never touches the elements: the int8 payload is
+    round(127 * d / amax(d)) with d = x - mean (identical for z since
+    rsqrt > 0 scales rows uniformly), and rsqrt rides the per-row dequant
+    scale  s = amax(d)/127 * rsqrt(var + eps).
+
+Net prologue: two fused mean reductions, one subtract, one absmax, one
+round-multiply — no per-element divide, no affine pass.
+
+Weights are quantized at trace time (per-output-channel symmetric int8, one
+O(K*N) pass per call — negligible against the O(M*K*N) dot).
 
 Replaces the reference's fp32 torch.nn.Linear + LayerNorm stack in the neck
 transformer blocks (reference model/blocks.py:257-289).
@@ -50,21 +65,31 @@ def quantize_weights(kernel: Array) -> Tuple[Array, Array]:
     return wq, w_scale
 
 
+def _fold_ln(
+    w: Array, bias: Optional[Array], ln_scale: Array, ln_bias: Array
+) -> Tuple[Array, Array]:
+    """Fold the LN affine into the projection: returns (w_eff, bias_eff)
+    with LN(x) @ w + bias == z @ w_eff + bias_eff for normalized z."""
+    w_eff = w * ln_scale.reshape(-1, 1)
+    bias_eff = ln_bias.reshape(-1) @ w
+    if bias is not None:
+        bias_eff = bias_eff + bias
+    return w_eff, bias_eff
+
+
 def _qmm_kernel(
     *refs, ln: bool, has_bias: bool, act: Optional[str], residual: bool,
     ln_eps: float,
 ):
     """One (m-tile, n-tile) grid step; N is the inner (sequential) axis.
 
-    Ref order: x, w, w_scale, [ln_scale, ln_bias], [bias], [residual], out,
-    xq_scratch, xs_scratch.
+    Ref order: x, w, w_scale, [bias], [residual], out, xq_scratch,
+    xs_scratch.
     """
     it = iter(refs)
     x_ref = next(it)
     w_ref = next(it)
     ws_ref = next(it)
-    lns_ref = next(it) if ln else None
-    lnb_ref = next(it) if ln else None
     b_ref = next(it) if has_bias else None
     r_ref = next(it) if residual else None
     o_ref = next(it)
@@ -78,16 +103,19 @@ def _qmm_kernel(
         xf = x_ref[...].astype(jnp.float32)
         if ln:
             mu = jnp.mean(xf, axis=1, keepdims=True)
-            xc = xf - mu
-            var = jnp.mean(xc * xc, axis=1, keepdims=True)
-            xn = xc * jax.lax.rsqrt(var + ln_eps)
-            y = xn * lns_ref[0:1, :] + lnb_ref[0:1, :]
+            m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
+            d = xf - mu
+            var = jnp.maximum(m2 - mu * mu, 0.0)
+            rstd = jax.lax.rsqrt(var + ln_eps)
         else:
-            y = xf
-        s = jnp.max(jnp.abs(y), axis=1, keepdims=True) / 127.0  # (bm, 1)
-        s = jnp.maximum(s, 1e-12)
-        xq_scr[...] = jnp.clip(jnp.round(y / s), -127.0, 127.0).astype(jnp.int8)
-        xs_scr[:, 0:1] = s
+            d = xf
+            rstd = 1.0
+        amax = jnp.maximum(
+            jnp.max(jnp.abs(d), axis=1, keepdims=True), 1e-12
+        )  # (bm, 1)
+        # |d| * 127/amax <= 127 exactly -> no clip needed for int8
+        xq_scr[...] = jnp.round(d * (127.0 / amax)).astype(jnp.int8)
+        xs_scr[:, 0:1] = amax * (1.0 / 127.0) * rstd
 
     acc = jax.lax.dot_general(
         xq_scr[...],
@@ -110,7 +138,7 @@ def _pick_blocks(m: int, k: int, n: int) -> Optional[Tuple[int, int]]:
     for bm in (1024, 512, 256, 128):
         if m % bm:
             continue
-        for bn in (512, 256):
+        for bn in (768, 512, 256):
             if n % bn:
                 continue
             # x bf16 + xq int8 + fp32 prologue temp + double-buffered w +
@@ -126,7 +154,7 @@ def _pick_blocks(m: int, k: int, n: int) -> Optional[Tuple[int, int]]:
     static_argnames=("out_dtype", "bm", "bn", "ln", "act", "residual", "ln_eps"),
 )
 def _qmm_call(
-    x2d, wq, w_scale, ln_scale, ln_bias, bias, res2d, *,
+    x2d, wq, w_scale, bias, res2d, *,
     out_dtype, bm, bn, ln, act, residual, ln_eps,
 ):
     m, k = x2d.shape
@@ -140,15 +168,6 @@ def _qmm_call(
         pl.BlockSpec((k, bn), lambda mi, ni: (0, ni)),
         pl.BlockSpec((1, bn), lambda mi, ni: (0, ni)),
     ]
-    if ln:
-        operands += [
-            ln_scale.reshape(1, k).astype(jnp.float32),
-            ln_bias.reshape(1, k).astype(jnp.float32),
-        ]
-        in_specs += [
-            pl.BlockSpec((1, k), lambda mi, ni: (0, 0)),
-            pl.BlockSpec((1, k), lambda mi, ni: (0, 0)),
-        ]
     if has_bias:
         operands.append(bias.reshape(1, n).astype(jnp.float32))
         in_specs.append(pl.BlockSpec((1, bn), lambda mi, ni: (0, ni)))
@@ -180,17 +199,24 @@ def _qmm_call(
     )(*operands)
 
 
-def _qmm_reference(x, wq, w_scale, ln_scale, ln_bias, bias, res, *,
+def _qmm_reference(x, wq, w_scale, bias, res, *,
                    ln, act, residual, ln_eps, out_dtype):
-    """Pure-JAX twin of the kernel (CPU fallback + oracle for tests)."""
+    """Pure-JAX twin of the kernel math (CPU fallback + oracle for tests).
+
+    Takes the already-folded weights (wq/w_scale/bias from _fold_ln +
+    quantize_weights) and mirrors the kernel's normalize-only LN."""
     xf = x.astype(jnp.float32)
     if ln:
         mu = jnp.mean(xf, axis=-1, keepdims=True)
-        xc = xf - mu
-        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-        xf = (xc * jax.lax.rsqrt(var + ln_eps)) * ln_scale + ln_bias
-    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
-    xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+        m2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        d = xf - mu
+        rstd = jax.lax.rsqrt(jnp.maximum(m2 - mu * mu, 0.0) + ln_eps)
+    else:
+        d = xf
+        rstd = 1.0
+    amax = jnp.maximum(jnp.max(jnp.abs(d), axis=-1, keepdims=True), 1e-12)
+    xq = jnp.round(d * (127.0 / amax)).astype(jnp.int8)
+    s = amax * (1.0 / 127.0) * rstd
     acc = jax.lax.dot_general(
         xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -207,8 +233,7 @@ def _qmm_reference(x, wq, w_scale, ln_scale, ln_bias, bias, res, *,
 
 def quant_matmul(
     x: Array,
-    wq: Array,
-    w_scale: Array,
+    w: Array,
     bias: Optional[Array] = None,
     ln_scale: Optional[Array] = None,
     ln_bias: Optional[Array] = None,
@@ -219,15 +244,19 @@ def quant_matmul(
 ) -> Array:
     """[LayerNorm ->] dynamic-int8-quant -> int8 matmul -> [bias/gelu/residual].
 
-    x: (..., K) bf16; wq: (K, N) int8; w_scale: (1, N) f32. Runs the fused
+    x: (..., K) bf16; w: (K, N) fp32 kernel (quantized per-output-channel
+    inside, LN affine folded in — see module docstring). Runs the fused
     Pallas kernel on TPU when shapes tile cleanly, else the identical-math
     XLA fallback.
     """
-    k, n = wq.shape
+    k, n = w.shape
     m = 1
     for d in x.shape[:-1]:
         m *= d
     ln = ln_scale is not None
+    if ln:
+        w, bias = _fold_ln(w, bias, ln_scale, ln_bias)
+    wq, w_scale = quantize_weights(w)
 
     use_pallas = (
         jax.default_backend() in ("tpu", "axon") or INTERPRET
@@ -235,7 +264,7 @@ def quant_matmul(
     blocks = _pick_blocks(m, k, n) if use_pallas else None
     if blocks is None:
         return _qmm_reference(
-            x, wq, w_scale, ln_scale, ln_bias, bias, residual,
+            x, wq, w_scale, bias, residual,
             ln=ln, act=act, residual=residual is not None, ln_eps=ln_eps,
             out_dtype=out_dtype,
         )
@@ -245,8 +274,7 @@ def quant_matmul(
 
     log_custom_flops(2.0 * m * k * n, int8=True)
     out = _qmm_call(
-        x.reshape(m, k), wq, w_scale,
-        ln_scale, ln_bias, bias,
+        x.reshape(m, k), wq, w_scale, bias,
         residual.reshape(m, n) if residual is not None else None,
         out_dtype=out_dtype, bm=bm, bn=bn, ln=ln, act=act,
         residual=residual is not None, ln_eps=ln_eps,
