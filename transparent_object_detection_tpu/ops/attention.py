@@ -190,7 +190,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: f
 
     @pl.when(ki == nk - 1)
     def _finish():
-        o_ref[0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] * (1.0 / l_scr[:, 0:1])).astype(o_ref.dtype)
 
 
 def flash_attention_pallas(
@@ -279,7 +279,7 @@ def _mha_flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scal
 
     @pl.when(ki == nk - 1)
     def _finish():
-        o_ref[0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] * (1.0 / l_scr[:, 0:1])).astype(o_ref.dtype)
 
 
 def flash_attention_mha(

@@ -78,10 +78,10 @@ def _mha_flash_int8_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
         qf = q_ref[0].astype(jnp.float32)
-        qs = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0  # (bq, 1)
-        qs = jnp.maximum(qs, 1e-12)
-        qq_scr[...] = jnp.round(qf / qs).astype(jnp.int8)
-        qs_scr[:, 0:1] = qs
+        amax = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-12)
+        # multiply by the per-row reciprocal scale — no per-element divide
+        qq_scr[...] = jnp.round(qf * (127.0 / amax)).astype(jnp.int8)
+        qs_scr[:, 0:1] = amax * (1.0 / 127.0)
 
     s32 = jax.lax.dot_general(
         qq_scr[...], kq_ref[0], (((1,), (1,)), ((), ())),
@@ -110,7 +110,8 @@ def _mha_flash_int8_kernel(
 
     @pl.when(ki == nk - 1)
     def _finish():
-        o_ref[0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+        # per-row reciprocal (bq divides) instead of a (bq, dh) divide
+        o_ref[0] = (acc_scr[:] * (1.0 / l_scr[:, 0:1])).astype(o_ref.dtype)
 
 
 @functools.partial(
