@@ -80,3 +80,42 @@ def test_dispatcher_falls_back_when_untileable(rng):
     out = attention(q, k, v, scale=0.1, num_heads=heads, int8=True)
     ref = attention(q, k, v, scale=0.1, num_heads=heads, int8=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def _asym_reference(q, k, v, scale, heads):
+    b, n, cq = q.shape
+    cv = v.shape[2]
+    dq, dv = cq // heads, cv // heads
+    foldq = lambda t, d: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3).reshape(
+        b * heads, n, d
+    ).astype(jnp.float32)
+    out = reference_attention(foldq(q, dq), foldq(k, dq), foldq(v, dv), scale)
+    return out.reshape(b, heads, n, dv).transpose(0, 2, 1, 3).reshape(b, n, cv)
+
+
+@pytest.mark.parametrize("heads,dq,dv", [(1, 64, 512), (2, 32, 128)])
+def test_asymmetric_qk_v_widths(rng, heads, dq, dv, monkeypatch):
+    """dq != dv (the backbone SelfAttention layout: qk at C/8, v at C)."""
+    monkeypatch.setattr(a8, "INTERPRET", True)
+    b, n = 1, 128
+    mk = lambda c: jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    q, k, v = mk(heads * dq), mk(heads * dq), mk(heads * dv)
+    out = attention_int8(q, k, v, 1.0, heads, 64, 64)
+    assert out is not None and out.shape == (b, n, heads * dv)
+    ref = _asym_reference(q, k, v, 1.0, heads)
+    rel = np.abs(np.asarray(out, np.float32) - np.asarray(ref)) / (
+        np.abs(np.asarray(ref)) + 1e-2
+    )
+    assert np.median(rel) < 0.05
+    assert rel.mean() < 0.10
+
+
+def test_pick_blocks_asymmetric_rules():
+    # SelfAttention shape: qk C/8=64 (32-aligned), v 512 (128-aligned) -> ok
+    assert pick_blocks(6400, 64, 1, cv=512) is not None
+    # v head dim not 128-aligned -> fall back
+    assert pick_blocks(6400, 64, 1, cv=192) is None
+    # qk head dim not 32-aligned -> fall back
+    assert pick_blocks(6400, 48, 1, cv=512) is None

@@ -31,6 +31,8 @@ class Backbone(nn.Module):
     base_depth: int
     deep_mul: float
     dtype: Any = jnp.bfloat16
+    # int8 flash attention in dark3's SelfAttention at eval time (serving)
+    int8_attn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Array, Array]:
@@ -46,7 +48,7 @@ class Backbone(nn.Module):
 
         x = ConvBNAct(c * 4, 3, strides=2, dtype=dt, name="dark3_conv")(x, train)
         x = C2f(c * 4, n=d * 2, shortcut=True, dtype=dt, name="dark3_c2f")(x, train)
-        x = SelfAttention(dtype=dt, name="dark3_attn")(x, train)
+        x = SelfAttention(dtype=dt, int8_attn=self.int8_attn, name="dark3_attn")(x, train)
         feat1 = x  # (B, H/8, W/8, 4c)
 
         x = ConvBNAct(c * 8, 3, strides=2, dtype=dt, name="dark4_conv")(x, train)

@@ -244,6 +244,8 @@ class SelfAttention(nn.Module):
 
     dtype: Dtype = jnp.bfloat16
     attention_impl: Optional[str] = None  # None=auto | xla | chunked | pallas
+    # int8 flash attention at eval time (dq=C/8, dv=C asymmetric kernel)
+    int8_attn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -258,7 +260,10 @@ class SelfAttention(nn.Module):
         v = dense(c, "value")(tokens)
         # auto dispatch: the flash path is differentiable (custom VJP with
         # flash-style recomputed backward), so training uses it too
-        out = attention(q, k, v, scale=1.0, impl=self.attention_impl)
+        out = attention(
+            q, k, v, scale=1.0, impl=self.attention_impl,
+            int8=self.int8_attn and not train,
+        )
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
         out = gamma.astype(self.dtype) * out + tokens
         return out.reshape(b, h, w, c)

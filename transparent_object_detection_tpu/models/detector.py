@@ -59,7 +59,8 @@ class FocusModel(nn.Module):
         passes that only need the raw maps)."""
         x = images.astype(self.dtype)
         feats = Backbone(
-            self.base_channels, self.base_depth, self.deep_mul, dtype=self.dtype, name="backbone"
+            self.base_channels, self.base_depth, self.deep_mul, dtype=self.dtype,
+            int8_attn=self.int8_attn, name="backbone"
         )(x, train)
         feats = Neck(
             self.base_channels,

@@ -391,7 +391,7 @@ def attention(
             pick_blocks,
         )
 
-        blocks = pick_blocks(n, c, num_heads)
+        blocks = pick_blocks(n, c, num_heads, cv=v.shape[-1])
         if blocks is not None:
             _log_flash_launch(b, n, c, v.shape[-1], int8=True)
             launch = _maybe_shard_map(

@@ -123,13 +123,17 @@ def flash_attention_mha_int8(
 ) -> Array:
     """int8 streaming attention on head-packed (B, N, H*dh) bf16 arrays.
 
-    dh must be a multiple of 128 and N a multiple of the (32-aligned)
-    blocks — the `attention` dispatcher guarantees this before calling.
+    q/k may have a different channel width than v (e.g. the backbone
+    SelfAttention: qk at C/8, v at C). The v head dim must be a multiple
+    of 128 and N a multiple of the (32-aligned) blocks — the `attention`
+    dispatcher guarantees this before calling.
     """
     from jax.experimental.pallas import tpu as pltpu
 
-    b, n, c = q.shape
-    d = c // num_heads
+    b, n, cq = q.shape
+    cv = v.shape[2]
+    dq = cq // num_heads
+    dv = cv // num_heads
     kq, ks = _quantize_kv(k, num_heads, block_k)
     vq, vs = _quantize_kv(v, num_heads, block_k)
     grid = (b, num_heads, n // block_q, n // block_k)
@@ -137,26 +141,26 @@ def flash_attention_mha_int8(
         functools.partial(_mha_flash_int8_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
-            pl.BlockSpec((1, block_k, d), lambda bi, hi, qi, ki: (bi, ki, hi)),
+            pl.BlockSpec((1, block_q, dq), lambda bi, hi, qi, ki: (bi, qi, hi)),
+            pl.BlockSpec((1, block_k, dq), lambda bi, hi, qi, ki: (bi, ki, hi)),
             pl.BlockSpec(
                 (1, num_heads, n // block_k), lambda bi, hi, qi, ki: (bi, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((1, block_k, d), lambda bi, hi, qi, ki: (bi, ki, hi)),
+            pl.BlockSpec((1, block_k, dv), lambda bi, hi, qi, ki: (bi, ki, hi)),
             pl.BlockSpec(
                 (1, num_heads, n // block_k), lambda bi, hi, qi, ki: (bi, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
-        out_shape=jax.ShapeDtypeStruct((b, n, c), q.dtype),
+        out_specs=pl.BlockSpec((1, block_q, dv), lambda bi, hi, qi, ki: (bi, qi, hi)),
+        out_shape=jax.ShapeDtypeStruct((b, n, cv), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.int8),
+            pltpu.VMEM((block_q, dq), jnp.int8),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -174,12 +178,14 @@ def _block32(n: int, preferred: int) -> Optional[int]:
 
 
 def pick_blocks(
-    n: int, c: int, num_heads: int,
+    n: int, cq: int, num_heads: int,
     block_q: Optional[int] = None, block_k: Optional[int] = None,
+    cv: Optional[int] = None,
 ) -> Optional[Tuple[int, int]]:
     """(bq, bk) for the int8 kernel, or None when shapes don't tile (the
     caller falls back to the bf16 path). Blocks are 32-aligned (int8 sublane
-    tiling) divisors of N; dh must be a 128-lane multiple.
+    tiling) divisors of N; the v head dim must be a 128-lane multiple (the
+    qk head dim only 32 — e.g. the backbone SelfAttention's dq=64).
 
     Measured on v5e at the phi='s' h2 shape (N=6400, 6x256): a FULL-WIDTH kv
     block (one sequential step — the running-max/normalizer rescale work
@@ -187,8 +193,14 @@ def pick_blocks(
     bk=3200 and 57.4 ms for the bf16 kernel: 197 TOPS. So bk defaults to N
     (capped at 6400 so the f32 score tile stays inside VMEM), with a
     narrower q block when kv is wide."""
-    if num_heads < 1 or c % num_heads or (c // num_heads) % 128:
+    if cv is None:
+        cv = cq
+    if (
+        num_heads < 1 or cq % num_heads or cv % num_heads
+        or (cv // num_heads) % 128 or (cq // num_heads) % 32
+    ):
         return None
+    dq, dv = cq // num_heads, cv // num_heads
     if block_k is None:
         block_k = n if n <= 6400 else 6400
     if block_q is None:
@@ -196,6 +208,19 @@ def pick_blocks(
     bq = _block32(n, block_q)
     bk = _block32(n, block_k)
     if bq is None or bk is None:
+        return None
+    # VMEM model of the persistent tiles (the transient f32 score tile is
+    # the same (bq, bk) size as the validated symmetric config and lives in
+    # vregs/spill): double-buffered int8 k/v + q + acc + statistics scratch.
+    def vmem(bq_, bk_):
+        return (
+            2 * bk_ * (dq + dv)                # double-buffered int8 k/v tiles
+            + bq_ * (2 * dq + dq + 4 * dv)     # q bf16 + qq int8 + acc f32
+            + 4 * 3 * bq_ * 128                # m/l/qs scratch
+        )
+    while bq and vmem(bq, bk) > 10 * 1024 * 1024:
+        bq = _block32(n, bq - 32)
+    if bq is None or bq < 32:
         return None
     return bq, bk
 
@@ -205,7 +230,9 @@ def attention_int8(
     block_q: Optional[int] = None, block_k: Optional[int] = None,
 ) -> Optional[Array]:
     """Dispatch wrapper: int8 flash when shapes tile cleanly, else None."""
-    blocks = pick_blocks(q.shape[1], q.shape[2], num_heads, block_q, block_k)
+    blocks = pick_blocks(
+        q.shape[1], q.shape[2], num_heads, block_q, block_k, cv=v.shape[2]
+    )
     if blocks is None:
         return None
     return flash_attention_mha_int8(q, k, v, num_heads, scale, *blocks)
