@@ -45,7 +45,9 @@ def main():
 
         set_attention_mesh(mesh)
 
-    cfg = ModelConfig(num_classes=1, phi=phi, input_shape=(1280, 1280))
+    int8 = os.environ.get("BENCH_INT8", "1") == "1"
+    cfg = ModelConfig(num_classes=1, phi=phi, input_shape=(1280, 1280),
+                      int8_dense=int8, int8_attn=int8)
     model = build_model(cfg)
     variables = init_variables(model, cfg, seed=0)
     variables = jax.device_put(variables, replicated(mesh))

@@ -100,22 +100,36 @@ def _qmm_kernel(
 
     @pl.when(ni == 0)
     def _prologue():
-        xf = x_ref[...].astype(jnp.float32)
-        if ln:
-            mu = jnp.mean(xf, axis=1, keepdims=True)
-            m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
-            d = xf - mu
-            var = jnp.maximum(m2 - mu * mu, 0.0)
-            rstd = jax.lax.rsqrt(var + ln_eps)
-        else:
-            d = xf
-            rstd = 1.0
-        amax = jnp.maximum(
-            jnp.max(jnp.abs(d), axis=1, keepdims=True), 1e-12
-        )  # (bm, 1)
-        # |d| * 127/amax <= 127 exactly -> no clip needed for int8
-        xq_scr[...] = jnp.round(d * (127.0 / amax)).astype(jnp.int8)
-        xs_scr[:, 0:1] = amax * (1.0 / 127.0) * rstd
+        # Chunked over row slabs: the f32 intermediates then occupy
+        # (chunk, K) instead of (bm, K) of VMEM spill, which is what lets
+        # _pick_blocks choose bm=1024 (fewer per-m-tile serializations —
+        # the prologue stalls the MXU once per m-tile).
+        bm = x_ref.shape[0]
+        chunk = 256 if bm % 256 == 0 else 128
+        if bm <= chunk:
+            chunk = bm
+
+        def slab(i, carry):
+            sl = pl.ds(i * chunk, chunk)
+            xf = x_ref[sl, :].astype(jnp.float32)
+            if ln:
+                mu = jnp.mean(xf, axis=1, keepdims=True)
+                m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
+                d = xf - mu
+                var = jnp.maximum(m2 - mu * mu, 0.0)
+                rstd = jax.lax.rsqrt(var + ln_eps)
+            else:
+                d = xf
+                rstd = 1.0
+            amax = jnp.maximum(
+                jnp.max(jnp.abs(d), axis=1, keepdims=True), 1e-12
+            )  # (chunk, 1)
+            # |d| * 127/amax <= 127 exactly -> no clip needed for int8
+            xq_scr[sl, :] = jnp.round(d * (127.0 / amax)).astype(jnp.int8)
+            xs_scr[sl, 0:1] = amax * (1.0 / 127.0) * rstd
+            return carry
+
+        jax.lax.fori_loop(0, bm // chunk, slab, 0, unroll=False)
 
     acc = jax.lax.dot_general(
         xq_scr[...],
@@ -134,18 +148,48 @@ def _qmm_kernel(
 
 
 def _pick_blocks(m: int, k: int, n: int) -> Optional[Tuple[int, int]]:
-    """(bm, bn) fitting VMEM, MXU-aligned and dividing (m, n)."""
-    for bm in (1024, 512, 256, 128):
-        if m % bm:
-            continue
+    """(bm, bn) fitting VMEM, MXU-aligned and dividing (m, n). Prefers tall
+    m-tiles: the quantize prologue runs once per m-tile and stalls the MXU,
+    so fewer/taller tiles amortize it (the prologue itself is row-chunked,
+    so its f32 temp stays at 256 rows regardless of bm)."""
+    def vmem(bm: int, bn: int) -> int:
+        chunk = min(bm, 256)
+        # Mosaic double-buffers every input/output block (x, w, out, and
+        # the optional residual — counted unconditionally), plus the xq
+        # int8 scratch, the chunked fp32 prologue temp, and the int32
+        # accumulator vregs. Calibrated against a measured 16.3M scoped
+        # allocation for (bm=1024, bn=512, k=1536) vs the 16M limit.
+        return (
+            2 * bm * k * 2       # x bf16, double-buffered
+            + bm * k             # xq int8 scratch
+            + chunk * k * 4      # fp32 prologue temp (row-chunked)
+            + 2 * k * bn         # w int8, double-buffered
+            + 2 * bm * bn * 2    # out bf16, double-buffered
+            + 2 * bm * bn * 2    # residual bf16, double-buffered
+            + bm * bn * 4        # int32 accumulator
+        )
+
+    budget = 15 * 1024 * 1024 + 512 * 1024
+    # Measured on v5e (204800-row TEB shapes): narrow projections with few
+    # wide-bn steps per m-tile are prologue-bound — tall m-tiles win (the
+    # square 1536x1536 attn_out: 7.9 -> 6.9 ms at (1024, 256)). Everything
+    # else is MXU/stream-bound and prefers the widest bn (wide-bn at
+    # (512, 768) beats tall-narrow by 4-20% on the 3072/4608/6144-wide and
+    # k=3072 shapes).
+    if n <= 1536 and k <= 2048:
+        for bm in (1024, 512, 256, 128):
+            if m % bm:
+                continue
+            for bn in (768, 512, 256):
+                if n % bn == 0 and vmem(bm, bn) <= budget:
+                    return bm, bn
+    else:
         for bn in (768, 512, 256):
             if n % bn:
                 continue
-            # x bf16 + xq int8 + fp32 prologue temp + double-buffered w +
-            # int32 acc + bf16 out (+ residual)
-            vmem = bm * k * (2 + 1 + 4) + 2 * k * bn + bm * bn * (4 + 2 + 2)
-            if vmem <= 12 * 1024 * 1024:
-                return bm, bn
+            for bm in (512, 256, 128):
+                if m % bm == 0 and vmem(bm, bn) <= budget:
+                    return bm, bn
     return None
 
 
