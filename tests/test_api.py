@@ -147,3 +147,36 @@ def test_focus_train_and_evaluate(focus, tmp_path):
 
     stats = focus.evaluate(lines, batch_size=2)
     assert "AP50" in stats and "voc_map" in stats
+
+
+def test_int8_serving_same_checkpoint(focus):
+    """FOCUS(int8=True) analog: the int8 serving model accepts the SAME
+    variables tree as the bf16 model and produces detections; api.py strips
+    int8 from the training config (round() has zero gradient)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from transparent_object_detection_tpu.inference import Predictor
+    from transparent_object_detection_tpu.models import FocusModel
+
+    q_model = FocusModel(
+        num_classes=1, base_channels=8, base_depth=1, deep_mul=0.5, num_heads=2,
+        dtype=jnp.float32, int8_dense=True, int8_attn=True,
+    )
+    # identical parameter tree: bf16-trained weights deploy unchanged
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    q_vars = q_model.init(jax.random.key(0), x, train=True)
+    assert jax.tree_util.tree_structure(q_vars) == jax.tree_util.tree_structure(
+        focus.variables
+    )
+    pred = Predictor(q_model, focus.variables, focus.model_cfg, focus.predict_cfg)
+    img = Image.fromarray(np.full((48, 64, 3), 128, np.uint8))
+    rows = pred.predict_image(img)
+    assert isinstance(rows, list)
+
+    # the FOCUS.train guard builds a de-quantized model config
+    cfg = dataclasses.replace(focus.model_cfg, int8_dense=True, int8_attn=True)
+    stripped = dataclasses.replace(cfg, int8_dense=False, int8_attn=False)
+    assert not (stripped.int8_dense or stripped.int8_attn)

