@@ -51,3 +51,33 @@ def test_no_mesh_passthrough(monkeypatch, rng):
     q = jnp.asarray(rng.normal(size=(4, 2048, 64)), jnp.float32)
     out = attn_mod.attention(q, q, q, scale=0.1, impl="pallas")
     assert out.shape == (4, 2048, 64)
+
+
+def test_int8_path_shard_map_splits_batch(monkeypatch, rng):
+    """attention(int8=True) under a registered mesh routes the int8 kernel
+    through shard_map with per-shard batch slices."""
+    import transparent_object_detection_tpu.ops.attention_int8 as a8
+
+    mesh = make_mesh()
+    attn_mod.set_attention_mesh(mesh)
+
+    seen = []
+
+    def fake_int8(q, k, v, num_heads, scale, block_q, block_k):
+        seen.append(q.shape)
+        return attn_mod.reference_attention(q, k, v, scale)
+
+    monkeypatch.setattr(a8, "flash_attention_mha_int8", fake_int8)
+
+    b, n, d = 8, 2048, 128
+    q = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    q = jax.device_put(q, batch_sharding(mesh))
+    k = jax.device_put(k, batch_sharding(mesh))
+    v = jax.device_put(v, batch_sharding(mesh))
+
+    out = attn_mod.attention(q, k, v, scale=0.1, impl="pallas", num_heads=1, int8=True)
+    ref = attn_mod.reference_attention(q, k, v, scale=0.1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    assert seen and all(s[0] == 1 for s in seen)
