@@ -14,7 +14,7 @@ whole batches in one compiled program per step.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -132,8 +132,6 @@ class EvalCallback:
     def on_epoch_end(self, epoch: int, logs: Dict[str, float], trainer=None, state=None):
         if not self.eval_flag or epoch % self.period != 0:
             return
-        import jax
-
         if self.use_ema and state is not None:
             variables = {"params": state.ema_params, "batch_stats": state.ema_batch_stats}
         elif state is not None:

@@ -25,7 +25,6 @@ from typing import Any, Callable, Dict, List, Optional, Sequence
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from transparent_object_detection_tpu.config import ModelConfig, TrainConfig
