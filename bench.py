@@ -112,13 +112,20 @@ def main() -> None:
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / 2000.0, 4),
+        # precision config of this record: the headline default flipped to
+        # int8 serving in round 2 (BENCH_INT8=1) — tooling comparing values
+        # across commits should key on this field.
+        "int8": int8,
     }
     if flops_per_batch > 0:
         tflop_per_img = flops_per_batch / batch / 1e12  # bf16 work
         top_per_img = int8_ops_per_batch / batch / 1e12  # int8 work
         # speed-of-light seconds per image: each precision charged at its peak
         sol_per_img = tflop_per_img / peak_tflops + top_per_img / peak_int8_tops
+        # combined work per image (bf16 FLOPs + int8 MXU ops); per-precision
+        # components under their own keys
         record["tflop_per_img"] = round(tflop_per_img + top_per_img, 4)
+        record["bf16_tflop_per_img"] = round(tflop_per_img, 4)
         if int8_ops_per_batch > 0:
             record["int8_top_per_img"] = round(top_per_img, 4)
         record["achieved_tflops"] = round(
@@ -127,6 +134,12 @@ def main() -> None:
         record["mfu"] = round(imgs_per_sec * sol_per_img, 4)
         # FLOP speed-of-light on this chip for this exact program
         record["ceiling_imgs_per_sec"] = round(1.0 / sol_per_img, 1)
+    # Aggregate data-parallel projection (serving has no cross-image
+    # communication; FOCUS.serve_mesh shards the batch over a 'data' mesh
+    # and the Pallas kernels run under shard_map). The projection holds only
+    # if the host pipeline can feed this rate — see docs/ROADMAP.md loader
+    # numbers (imgs/s/core x cores must exceed it).
+    record["aggregate_v5e8_projection_imgs_per_sec"] = round(imgs_per_sec * 8, 1)
     print(json.dumps(record))
 
 

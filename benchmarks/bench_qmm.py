@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Per-shape micro-benchmark of the fused int8 matmul kernel (ops/quant_matmul.py).
+
+Isolates where the 140-240-of-394 TOPS gap lives by timing variants of the
+same (M, K, N) TEB projection shapes (phi='s', batch 32):
+
+  QMM_MODE=base     production quant_matmul (prologue + dot + epilogue)
+  QMM_MODE=dot      dot + epilogue only — x pre-quantized OUTSIDE the timed
+                    region and passed as int8 args (prologue share = base - dot)
+  QMM_MODE=dotraw   dot only, raw int32 -> bf16 write (epilogue share)
+  QMM_MODE=xla      XLA int8 dot_general + XLA dequant (compiler baseline)
+  QMM_MODE=bf16     XLA bf16 matmul (the non-quantized reference)
+
+Env: QMM_SHAPES=h2.qkv,h2.ao,... (default: the 6 dominant shapes),
+QMM_ITERS (10). One JSON line per shape. Run ONE mode per process on the
+tunneled TPU (runs must stay well under their timeout — see memory notes).
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# (tag, M, K, N, ln, act, residual) — phi='s' batch-32 TEB projections
+SHAPES = [
+    ("h2.qkv", 204800, 1536, 4608, True, None, False),
+    ("h2.ao", 204800, 1536, 1536, False, None, True),
+    ("h2.mlp1", 204800, 1536, 6144, True, "gelu", False),
+    ("h2.mlp2", 204800, 6144, 1536, False, None, True),
+    ("h1.qkv", 51200, 2048, 6144, True, None, False),
+    ("h1.mlp2", 51200, 8192, 2048, False, None, True),
+]
+
+
+def timed(f, *a, iters=10):
+    o = f(*a)
+    jax.block_until_ready(o)
+    float(jnp.asarray(o).reshape(-1)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = f(*a)
+    float(jnp.asarray(o).reshape(-1)[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def _dot_kernel(x_ref, w_ref, ws_ref, o_ref, *, epilogue: bool):
+    """Pre-quantized int8 dot (+ dequant epilogue) — no prologue. The x scale
+    is a scalar here (vs the production per-row vector — one extra broadcast
+    multiply, negligible for timing isolation)."""
+    acc = jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    if epilogue:
+        o_ref[...] = (
+            acc.astype(jnp.float32) * 0.0123 * ws_ref[0:1, :]
+        ).astype(o_ref.dtype)
+    else:
+        o_ref[...] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "epilogue"))
+def _dot_call(xq, wq, ws, *, bm, bn, epilogue):
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = xq.shape
+    n = wq.shape[1]
+    return pl.pallas_call(
+        functools.partial(_dot_kernel, epilogue=epilogue),
+        grid=(m // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda mi, ni: (mi, 0)),
+            pl.BlockSpec((k, bn), lambda mi, ni: (0, ni)),
+            pl.BlockSpec((1, bn), lambda mi, ni: (0, ni)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda mi, ni: (mi, ni)),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(xq, wq, ws)
+
+
+def main():
+    import numpy as np
+
+    from transparent_object_detection_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from transparent_object_detection_tpu.ops.quant_matmul import (
+        _pick_blocks,
+        quant_matmul,
+        quantize_weights,
+    )
+
+    mode = os.environ.get("QMM_MODE", "base")
+    iters = int(os.environ.get("QMM_ITERS", "10"))
+    sel = os.environ.get("QMM_SHAPES")
+    shapes = SHAPES if not sel else [s for s in SHAPES if s[0] in sel.split(",")]
+
+    rng = np.random.default_rng(0)
+    for tag, m, k, n, ln, act, residual in shapes:
+        x = jnp.asarray(rng.normal(size=(m, k)) * 0.5, jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(k, n)) * 0.02, jnp.float32)
+        bias = jnp.zeros((n,), jnp.float32)
+        res = (
+            jnp.asarray(rng.normal(size=(m, n)) * 0.5, jnp.bfloat16)
+            if residual else None
+        )
+        ln_s = jnp.ones((k,), jnp.float32) if ln else None
+        ln_b = jnp.zeros((k,), jnp.float32) if ln else None
+        tops = 2.0 * m * k * n
+
+        if mode == "base":
+            if residual:
+                f = jax.jit(lambda x, w, r: quant_matmul(x, w, bias=bias, residual=r))
+                t = timed(f, x, w, res, iters=iters)
+            else:
+                f = jax.jit(
+                    lambda x, w: quant_matmul(
+                        x, w, bias=bias, ln_scale=ln_s, ln_bias=ln_b, act=act
+                    )
+                )
+                t = timed(f, x, w, iters=iters)
+        elif mode in ("dot", "dotraw"):
+            blocks = _pick_blocks(m, k, n)
+            assert blocks, (tag, m, k, n)
+            bm, bn = blocks
+            wq, ws = quantize_weights(w)
+            xf = x.astype(jnp.float32)
+            xs = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
+            xq = jax.device_put(jnp.round(xf / xs).astype(jnp.int8))
+            f = functools.partial(_dot_call, bm=bm, bn=bn, epilogue=mode == "dot")
+            t = timed(f, xq, wq, ws, iters=iters)
+        elif mode == "xla":
+            wq, ws = quantize_weights(w)
+
+            def xla_int8(x, wq, ws):
+                xf = x.astype(jnp.float32)
+                xs = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
+                xq = jnp.round(xf / xs).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    xq, wq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                return (acc.astype(jnp.float32) * xs * ws).astype(jnp.bfloat16)
+
+            f = jax.jit(xla_int8)
+            t = timed(f, x, wq, ws, iters=iters)
+        elif mode == "bf16":
+            wb = w.astype(jnp.bfloat16)
+            f = jax.jit(lambda x, w: jax.lax.dot(x, w).astype(jnp.bfloat16))
+            t = timed(f, x, wb, iters=iters)
+        else:
+            raise SystemExit(f"unknown QMM_MODE {mode}")
+
+        print(
+            json.dumps(
+                {
+                    "tag": tag, "mode": mode, "m": m, "k": k, "n": n,
+                    "ms": round(t * 1e3, 3),
+                    "tops": round(tops / t / 1e12, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

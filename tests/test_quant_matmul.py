@@ -129,3 +129,97 @@ def test_untileable_shapes_fall_back(data):
     ref = _qmm_reference(x, wq, ws, bias, None, ln=False, act=None,
                          residual=False, ln_eps=1e-6, out_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# multi-chip: the int8 TEB path must partition under a data mesh
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def _mesh_cleanup():
+    from transparent_object_detection_tpu.ops.shard import set_compute_mesh
+
+    yield
+    set_compute_mesh(None)
+
+
+def test_shard_map_pallas_partitions_batch(data, monkeypatch, _mesh_cleanup):
+    """Under a registered 8-device mesh, the PALLAS path (interpret mode)
+    runs per-shard: each shard's local M (8*256/8 = 256 rows) passes
+    _pick_blocks, and the assembled result matches the math twin."""
+    from transparent_object_detection_tpu.ops.shard import set_compute_mesh
+    from transparent_object_detection_tpu.parallel import batch_sharding, make_mesh
+
+    monkeypatch.setattr(qmm_mod, "INTERPRET", True)
+    x, w, bias, gamma, beta, res = data
+    mesh = make_mesh()
+    set_compute_mesh(mesh)
+
+    seen = []
+    orig = qmm_mod._qmm_call
+
+    def spy(x2d, *args, **kwargs):
+        seen.append(x2d.shape)
+        return orig(x2d, *args, **kwargs)
+
+    monkeypatch.setattr(qmm_mod, "_qmm_call", spy)
+
+    xb = jnp.tile(x.reshape(1, 256, 256), (8, 1, 1)) * jnp.linspace(
+        0.5, 1.5, 8
+    ).reshape(8, 1, 1)
+    xb = jax.device_put(xb, batch_sharding(mesh))
+    got = quant_matmul(xb, w, bias=bias, ln_scale=gamma, ln_bias=beta,
+                       act="gelu", out_dtype=jnp.float32)
+    assert got.shape == (8, 256, 256)
+    # the kernel launcher saw per-shard local rows, not the global M
+    assert seen and all(s[0] == 256 for s in seen), seen
+
+    wq, ws, bias_eff = _folded(w, bias, gamma, beta, ln=True)
+    ref = _qmm_reference(
+        xb, wq, ws, bias_eff, None,
+        ln=True, act="gelu", residual=False, ln_eps=1e-6, out_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_shard_map_residual_sharded(data, monkeypatch, _mesh_cleanup):
+    """The residual operand rides the batch axis through shard_map."""
+    from transparent_object_detection_tpu.ops.shard import set_compute_mesh
+    from transparent_object_detection_tpu.parallel import batch_sharding, make_mesh
+
+    monkeypatch.setattr(qmm_mod, "INTERPRET", True)
+    x, w, bias, gamma, beta, res = data
+    mesh = make_mesh()
+    set_compute_mesh(mesh)
+    xb = jnp.tile(x.reshape(1, 256, 256), (8, 1, 1))
+    rb = jnp.tile(res.reshape(1, 256, 256), (8, 1, 1))
+    xb = jax.device_put(xb, batch_sharding(mesh))
+    rb = jax.device_put(rb, batch_sharding(mesh))
+    got = quant_matmul(xb, w, bias=bias, residual=rb, out_dtype=jnp.float32)
+    wq, ws = quantize_weights(w)
+    ref = _qmm_reference(xb, wq, ws, bias, rb, ln=False, act=None,
+                         residual=True, ln_eps=1e-6, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_int8_teb_partitions_under_data_mesh(rng, _mesh_cleanup):
+    """End-to-end: a TransformerEncoderBlock with int8_dense under a data
+    mesh — the full fused serving path (shard_map'd quant_matmul dispatch)
+    executes and matches the no-mesh result exactly."""
+    from transparent_object_detection_tpu.models.blocks import TransformerEncoderBlock
+    from transparent_object_detection_tpu.ops.shard import set_compute_mesh
+    from transparent_object_detection_tpu.parallel import batch_sharding, make_mesh
+
+    teb = TransformerEncoderBlock(num_heads=2, dtype=jnp.float32, int8_dense=True)
+    x = jnp.asarray(rng.normal(size=(8, 4, 4, 128)), jnp.float32)
+    variables = teb.init(jax.random.key(0), x, train=False)
+    base = teb.apply(variables, x, train=False)
+
+    mesh = make_mesh()
+    set_compute_mesh(mesh)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got = teb.apply(variables, xs, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base), rtol=1e-5, atol=1e-5
+    )

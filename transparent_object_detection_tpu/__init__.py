@@ -16,6 +16,21 @@ shadowing, SURVEY.md B6): everything is importable from here.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor JAX_PLATFORMS even when a sitecustomize hook (e.g. a TPU-tunnel
+    # plugin) registered backends before env processing: the env value wins
+    # only if applied to the live config. Without this, JAX_PLATFORMS=cpu
+    # tool runs silently land on the TPU. No-op when jax is already
+    # initialized (tests set the config in conftest first).
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # noqa: BLE001 - never block package import
+        pass
+
 from transparent_object_detection_tpu.config import (  # noqa: F401
     ModelConfig,
     PredictConfig,

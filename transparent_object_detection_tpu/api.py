@@ -214,6 +214,34 @@ class FOCUS:
             )
         return self._predictor
 
+    def serve_mesh(self, devices=None, axis_name: str = "data"):
+        """Switch serving to data-parallel over a device mesh.
+
+        Builds a 1-D 'data' mesh over all (or the given) devices, registers
+        it as the compute mesh so every Pallas serving kernel (flash/int8
+        attention, fused int8 matmul) runs under shard_map, and rebuilds the
+        predictor with replicated weights + batch-sharded inputs. Batch
+        sizes passed to detect_* must divide the mesh size. Aggregate
+        throughput scales as chips x per-chip (the serving path has no
+        cross-image communication); the reference has no multi-device
+        serving at all (reference predict.py:16-189).
+
+        Returns the mesh-aware Predictor.
+        """
+        import jax as _jax
+
+        from transparent_object_detection_tpu.inference import Predictor
+        from transparent_object_detection_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(
+            devices if devices is not None else _jax.devices(), axis_name
+        )
+        self._predictor = Predictor(
+            self.model, self.variables, self.model_cfg, self.predict_cfg,
+            mesh=mesh,
+        )
+        return self._predictor
+
     def predict(self, source: str, **kwargs):
         """Extension dispatch (model.py:168-179): image file -> detections,
         video file -> annotated video, directory -> batch predict."""

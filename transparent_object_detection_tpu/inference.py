@@ -76,13 +76,19 @@ def _letterbox_detect_step(
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted(fn, model: FocusModel, input_shape: Tuple[int, int], predict_cfg: PredictConfig):
+def _jitted(
+    fn, model: FocusModel, input_shape: Tuple[int, int], predict_cfg: PredictConfig,
+    mesh=None,
+):
     """Process-wide jit cache keyed on the static detection config.
 
     Flax modules and the frozen config dataclasses hash by value, so two
     Predictors built from equal configs share ONE traced program — repeated
     EvalCallback epochs (or any fresh Predictor) never re-trace
-    (reference-repair for VERDICT weak #5)."""
+    (reference-repair for VERDICT weak #5). The mesh is part of the key:
+    the registered compute mesh bakes shard_map wrappers into the trace, so
+    mesh and non-mesh Predictors must not share programs."""
+    del mesh  # key-only
     return jax.jit(functools.partial(fn, model, input_shape=input_shape, predict_cfg=predict_cfg))
 
 
@@ -101,26 +107,52 @@ class Predictor:
         variables: Dict[str, Any],
         model_cfg: ModelConfig,
         predict_cfg: Optional[PredictConfig] = None,
+        mesh=None,
     ):
+        """mesh: an optional jax.sharding.Mesh with a 'data' axis. When given,
+        the Predictor registers it as the compute mesh (so the Pallas serving
+        kernels — flash/int8 attention and the fused int8 matmul — run under
+        shard_map; GSPMD cannot partition them), replicates the weights, and
+        shards every input batch over the data axis. Batch sizes must divide
+        the mesh size. The reference has no multi-device serving at all
+        (reference predict.py:16-189)."""
         self.model = model
-        self.variables = variables
         self.model_cfg = model_cfg
         self.predict_cfg = predict_cfg or PredictConfig()
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from transparent_object_detection_tpu.ops.shard import set_compute_mesh
+
+            set_compute_mesh(mesh)
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        else:
+            self._batch_sharding = None
+        self.variables = variables
         self._detect = _jitted(
-            detect_step, model, model_cfg.input_shape, self.predict_cfg
+            detect_step, model, model_cfg.input_shape, self.predict_cfg, mesh
         )
         self._letterbox_detect = _jitted(
-            _letterbox_detect_step, model, model_cfg.input_shape, self.predict_cfg
+            _letterbox_detect_step, model, model_cfg.input_shape, self.predict_cfg, mesh
         )
+
+    def _place(self, *arrays):
+        if self._batch_sharding is None:
+            return arrays
+        return tuple(jax.device_put(a, self._batch_sharding) for a in arrays)
 
     # -- device-side entry points ------------------------------------------
 
     def detect_letterboxed(self, images: Array, image_shapes: Array) -> Dict[str, Array]:
         """images already letterboxed to input_shape, float32 [0,1]."""
+        images, image_shapes = self._place(images, image_shapes)
         return self._detect(self.variables, images=images, image_shapes=image_shapes)
 
     def detect_raw_batch(self, raw_images: Array, image_shapes: Array) -> Dict[str, Array]:
         """Uniform-size uint8 batch; letterboxing runs on device."""
+        raw_images, image_shapes = self._place(raw_images, image_shapes)
         return self._letterbox_detect(self.variables, raw_images, image_shapes)
 
     # -- host conveniences ---------------------------------------------------

@@ -410,7 +410,13 @@ class TransformerEncoderBlock(nn.Module):
         scale = 1.0 / math.sqrt(dh)
         int8_attn = self.int8_attn and not train
 
-        if self.int8_dense:
+        if self.int8_dense and not train:
+            # Serving-only (mirrors the int8_attn gating above): under
+            # train=True the bf16 branch below runs instead — the fused
+            # Pallas kernel has no VJP, and the XLA fallback would silently
+            # give zero gradients through round(). The param trees of the
+            # two branches are identical (param-twin modules), so routing by
+            # `train` never changes the checkpoint structure.
             # Fused serving path: each projection is ONE Pallas launch doing
             # [LayerNorm ->] dynamic-int8 quantize -> int8 MXU matmul ->
             # [bias/gelu/residual] (ops/quant_matmul.py). Parameter tree is

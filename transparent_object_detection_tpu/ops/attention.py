@@ -26,20 +26,13 @@ from jax.experimental import pallas as pl
 
 Array = jax.Array
 
-# Mesh registered for SPMD execution: GSPMD cannot auto-partition a
-# pallas_call, so when a mesh is set the flash kernels are wrapped in
-# shard_map over the data axis (attention is embarrassingly parallel in the
-# batch dim). Set via set_attention_mesh() before building sharded programs.
-_SHARD_MESH = None
-_SHARD_AXIS = "data"
-
-
-def set_attention_mesh(mesh, axis_name: str = "data") -> None:
-    """Register (or clear, with None) the mesh used to shard flash-attention
-    kernels across chips."""
-    global _SHARD_MESH, _SHARD_AXIS
-    _SHARD_MESH = mesh
-    _SHARD_AXIS = axis_name
+# Mesh registration for SPMD execution lives in ops/shard.py (shared with
+# the fused int8 matmul): GSPMD cannot auto-partition a pallas_call, so when
+# a mesh is set the flash kernels are wrapped in shard_map over the data
+# axis (attention is embarrassingly parallel in the batch dim).
+from transparent_object_detection_tpu.ops.shard import (  # noqa: F401
+    set_compute_mesh as set_attention_mesh,
+)
 
 
 # Trace-time FLOP accounting: XLA's cost analysis reports 0 FLOPs for
@@ -80,16 +73,9 @@ def log_custom_flops(flops: float, int8: bool = False) -> None:
 def _maybe_shard_map(fn):
     """Wrap a (q, k, v) -> out kernel launcher in shard_map over the batch
     axis when a mesh is registered."""
-    if _SHARD_MESH is None:
-        return fn
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
+    from transparent_object_detection_tpu.ops.shard import maybe_shard_map
 
-    spec = P(_SHARD_AXIS)
-    return shard_map(
-        fn, mesh=_SHARD_MESH, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False,
-    )
+    return maybe_shard_map(fn)
 
 
 def reference_attention(q: Array, k: Array, v: Array, scale: float = 1.0) -> Array:

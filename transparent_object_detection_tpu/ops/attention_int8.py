@@ -209,16 +209,19 @@ def pick_blocks(
     bk = _block32(n, block_k)
     if bq is None or bk is None:
         return None
-    # VMEM model of the persistent tiles (the transient f32 score tile is
-    # the same (bq, bk) size as the validated symmetric config and lives in
-    # vregs/spill): double-buffered int8 k/v + q + acc + statistics scratch.
+    # VMEM model: persistent tiles plus the transient (bq, bk) f32 score
+    # tile (8.2 MB at the validated bq=320/bk=6400 — omitting it made
+    # unvalidated shape combos compile-fail instead of shrinking blocks).
+    # Budget calibrated so the validated configs (320/6400 -> 15.1 MiB,
+    # 512/<=3200) still pass against the ~16 MiB v5e VMEM.
     def vmem(bq_, bk_):
         return (
             2 * bk_ * (dq + dv)                # double-buffered int8 k/v tiles
             + bq_ * (2 * dq + dq + 4 * dv)     # q bf16 + qq int8 + acc f32
             + 4 * 3 * bq_ * 128                # m/l/qs scratch
+            + bq_ * bk_ * 4                    # transient f32 score tile
         )
-    while bq and vmem(bq, bk) > 10 * 1024 * 1024:
+    while bq and vmem(bq, bk) > 15 * 1024 * 1024 + 512 * 1024:
         bq = _block32(n, bq - 32)
     if bq is None or bq < 32:
         return None

@@ -275,33 +275,13 @@ def _qmm_reference(x, wq, w_scale, bias, res, *,
     return out.astype(out_dtype)
 
 
-def quant_matmul(
-    x: Array,
-    w: Array,
-    bias: Optional[Array] = None,
-    ln_scale: Optional[Array] = None,
-    ln_bias: Optional[Array] = None,
-    ln_eps: float = 1e-6,
-    act: Optional[str] = None,
-    residual: Optional[Array] = None,
-    out_dtype=jnp.bfloat16,
-) -> Array:
-    """[LayerNorm ->] dynamic-int8-quant -> int8 matmul -> [bias/gelu/residual].
-
-    x: (..., K) bf16; w: (K, N) fp32 kernel (quantized per-output-channel
-    inside, LN affine folded in — see module docstring). Runs the fused
-    Pallas kernel on TPU when shapes tile cleanly, else the identical-math
-    XLA fallback.
-    """
-    k, n = w.shape
+def _qmm_dispatch(x, wq, w_scale, bias, residual, *, ln, act, ln_eps, out_dtype):
+    """Pallas-or-fallback on whatever shapes it receives (global, or the
+    per-shard local shapes inside shard_map)."""
+    k, n = wq.shape
     m = 1
     for d in x.shape[:-1]:
         m *= d
-    ln = ln_scale is not None
-    if ln:
-        w, bias = _fold_ln(w, bias, ln_scale, ln_bias)
-    wq, w_scale = quantize_weights(w)
-
     use_pallas = (
         jax.default_backend() in ("tpu", "axon") or INTERPRET
     ) and x.shape[-1] == k and k % 128 == 0 and n % 256 == 0
@@ -324,3 +304,72 @@ def quant_matmul(
         residual=residual is not None, ln_eps=ln_eps,
     )
     return out.reshape(*x.shape[:-1], n)
+
+
+def quant_matmul(
+    x: Array,
+    w: Array,
+    bias: Optional[Array] = None,
+    ln_scale: Optional[Array] = None,
+    ln_bias: Optional[Array] = None,
+    ln_eps: float = 1e-6,
+    act: Optional[str] = None,
+    residual: Optional[Array] = None,
+    out_dtype=jnp.bfloat16,
+) -> Array:
+    """[LayerNorm ->] dynamic-int8-quant -> int8 matmul -> [bias/gelu/residual].
+
+    x: (..., K) bf16; w: (K, N) fp32 kernel (quantized per-output-channel
+    inside, LN affine folded in — see module docstring). Runs the fused
+    Pallas kernel on TPU when shapes tile cleanly, else the identical-math
+    XLA fallback.
+
+    Under a registered compute mesh (ops/shard.py) with a batched input, the
+    whole dispatch is wrapped in shard_map over the data axis — GSPMD cannot
+    partition a pallas_call, so without this the int8 serving path would not
+    run data-parallel. Block picking then sees the per-shard local M.
+    """
+    ln = ln_scale is not None
+    if ln:
+        w, bias = _fold_ln(w, bias, ln_scale, ln_bias)
+    wq, w_scale = quantize_weights(w)
+
+    from transparent_object_detection_tpu.ops.shard import (
+        get_compute_mesh,
+        maybe_shard_map,
+    )
+
+    mesh, axis = get_compute_mesh()
+    n_shards = dict(getattr(mesh, "shape", {})).get(axis, 1) if mesh is not None else 1
+    if (
+        n_shards > 1
+        and x.ndim >= 2
+        and x.shape[0] % n_shards == 0
+        and (residual is None or residual.shape[0] == x.shape[0])
+    ):
+        has_bias, has_res = bias is not None, residual is not None
+
+        def local_fn(*args):
+            it = iter(args)
+            x_l = next(it)
+            wq_l, ws_l = next(it), next(it)
+            b_l = next(it) if has_bias else None
+            r_l = next(it) if has_res else None
+            return _qmm_dispatch(
+                x_l, wq_l, ws_l, b_l, r_l,
+                ln=ln, act=act, ln_eps=ln_eps, out_dtype=out_dtype,
+            )
+
+        operands = [x, wq, w_scale]
+        batch_idx = {0}
+        if has_bias:
+            operands.append(bias)
+        if has_res:
+            batch_idx.add(len(operands))
+            operands.append(residual)
+        return maybe_shard_map(local_fn, batch_arg_indices=batch_idx)(*operands)
+
+    return _qmm_dispatch(
+        x, wq, w_scale, bias, residual,
+        ln=ln, act=act, ln_eps=ln_eps, out_dtype=out_dtype,
+    )
