@@ -9,10 +9,12 @@ same (M, K, N) TEB projection shapes (phi='s', batch 32):
                     region and passed as int8 args (prologue share = base - dot)
   QMM_MODE=dotraw   dot only, raw int32 -> bf16 write (epilogue share)
   QMM_MODE=xla      XLA int8 dot_general + XLA dequant (compiler baseline)
+  QMM_MODE=xladot   XLA int8 dot_general alone on PRE-quantized int8 args —
+                    the raw MXU int8 rate XLA can reach on this shape
   QMM_MODE=bf16     XLA bf16 matmul (the non-quantized reference)
 
 Env: QMM_SHAPES=h2.qkv,h2.ao,... (default: the 6 dominant shapes),
-QMM_ITERS (10). One JSON line per shape. Run ONE mode per process on the
+QMM_ITERS (10), QMM_BM/QMM_BN (override the block picker in dot modes). Run ONE mode per process on the
 tunneled TPU (runs must stay well under their timeout — see memory notes).
 """
 from __future__ import annotations
@@ -135,12 +137,39 @@ def main():
             blocks = _pick_blocks(m, k, n)
             assert blocks, (tag, m, k, n)
             bm, bn = blocks
+            bm = int(os.environ.get("QMM_BM", bm))
+            bn = int(os.environ.get("QMM_BN", bn))
             wq, ws = quantize_weights(w)
-            xf = x.astype(jnp.float32)
-            xs = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
-            xq = jax.device_put(jnp.round(xf / xs).astype(jnp.int8))
+
+            @jax.jit  # fused: no 5 GB f32 intermediates in HBM
+            def _prep(x):
+                xf = x.astype(jnp.float32)
+                xs = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
+                return jnp.round(xf / xs).astype(jnp.int8)
+
+            xq = _prep(x)
             f = functools.partial(_dot_call, bm=bm, bn=bn, epilogue=mode == "dot")
             t = timed(f, xq, wq, ws, iters=iters)
+        elif mode == "xladot":
+            wq, ws = quantize_weights(w)
+
+            @jax.jit
+            def _prep(x):
+                xf = x.astype(jnp.float32)
+                xs = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
+                return jnp.round(xf / xs).astype(jnp.int8)
+
+            xq = _prep(x)
+
+            def xla_dot(xq, wq):
+                acc = jax.lax.dot_general(
+                    xq, wq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                return acc.astype(jnp.bfloat16)
+
+            f = jax.jit(xla_dot)
+            t = timed(f, xq, wq, iters=iters)
         elif mode == "xla":
             wq, ws = quantize_weights(w)
 

@@ -56,6 +56,31 @@ def main():
     }
     lr = jnp.asarray(1e-3, jnp.float32)
 
+    # FLOP accounting for the FULL train program (fwd + loss + bwd + opt +
+    # EMA): XLA cost analysis of the compiled grad program plus the trace-
+    # time Pallas log (flash fwd via the attention dispatcher, flash bwd via
+    # the custom-VJP bwd hook) — same methodology as serving's bench.py.
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+    flops_per_step = -1.0
+    try:
+        from transparent_object_detection_tpu.ops.attention import (
+            start_flop_log,
+            stop_flop_log,
+        )
+
+        start_flop_log()
+        lowered = step.lower(state, batch_data, lr)
+        log = stop_flop_log()
+        flash_flops = sum(r["flops"] for r in log)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        xla_flops = float(cost.get("flops", 0.0))
+        if xla_flops > 0:
+            flops_per_step = xla_flops + flash_flops
+    except Exception:
+        pass
+
     state, comps = step(state, batch_data, lr)
     float(comps["loss"])  # force completion
     iters = 10
@@ -64,18 +89,23 @@ def main():
         state, comps = step(state, batch_data, lr)
     float(comps["loss"])
     dt = (time.perf_counter() - t0) / iters
-    print(
-        json.dumps(
-            {
-                "metric": "train step throughput 640x640 (fwd+loss+grad+opt+EMA)",
-                "phi": phi,
-                "batch": batch,
-                "remat": remat,
-                "step_ms": round(dt * 1e3, 1),
-                "imgs_per_sec": round(batch / dt, 2),
-            }
+    record = {
+        "metric": "train step throughput 640x640 (fwd+loss+grad+opt+EMA)",
+        "phi": phi,
+        "batch": batch,
+        "remat": remat,
+        "step_ms": round(dt * 1e3, 1),
+        "imgs_per_sec": round(batch / dt, 2),
+    }
+    if flops_per_step > 0:
+        tflop_per_img = flops_per_step / batch / 1e12
+        record["tflop_per_img"] = round(tflop_per_img, 4)
+        record["achieved_tflops"] = round(flops_per_step / dt / 1e12, 1)
+        record["mfu"] = round(flops_per_step / dt / 1e12 / peak_tflops, 4)
+        record["ceiling_imgs_per_sec"] = round(
+            batch * peak_tflops * 1e12 / flops_per_step, 1
         )
-    )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -81,3 +81,47 @@ def test_int8_path_shard_map_splits_batch(monkeypatch, rng):
     ref = attn_mod.reference_attention(q, k, v, scale=0.1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
     assert seen and all(s[0] == 1 for s in seen)
+
+
+def test_tp_mesh_shards_heads(monkeypatch, rng):
+    """On a (data, model) mesh, the packed-head channel axis is sharded over
+    the model axis: each rank's kernel sees heads/tp local heads — Megatron
+    column-parallel qkv layout, zero collectives inside attention."""
+    from transparent_object_detection_tpu.parallel.tp import make_2d_mesh
+
+    mesh = make_2d_mesh(tp=4)  # dp2 x tp4 on the 8 CPU devices
+    attn_mod.set_attention_mesh(mesh)
+
+    seen = []
+
+    def fake_mha(q, k, v, num_heads, scale, bq, bk):
+        seen.append((q.shape, num_heads))
+        b, n, c = q.shape
+        d = c // num_heads
+        fold = lambda t: t.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3).reshape(
+            b * num_heads, n, d
+        )
+        out = attn_mod.reference_attention(fold(q), fold(k), fold(v), scale)
+        return out.reshape(b, num_heads, n, d).transpose(0, 2, 1, 3).reshape(b, n, c)
+
+    monkeypatch.setattr(attn_mod, "flash_attention_mha", fake_mha)
+    attn_mod._diff_flash.cache_clear()
+
+    b, n, h, d = 4, 2048, 8, 128
+    c = h * d
+    q = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+
+    out = attn_mod.attention(q, k, v, scale=0.1, impl="pallas", num_heads=h)
+
+    # oracle: per-head reference attention on the full arrays
+    fold = lambda t: t.reshape(b, n, h, d).transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    ref = attn_mod.reference_attention(fold(q), fold(k), fold(v), 0.1)
+    ref = ref.reshape(b, h, n, d).transpose(0, 2, 1, 3).reshape(b, n, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    # each rank saw batch 4/2=2, channels c/4, and 8/4=2 local heads
+    assert seen and all(
+        s == ((2, n, c // 4), 2) for s in seen
+    ), seen
+    attn_mod._diff_flash.cache_clear()

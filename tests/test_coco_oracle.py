@@ -283,3 +283,165 @@ def test_coco_eval_perfect_detection():
     assert stats["AP"] == pytest.approx(1.0)
     assert stats["AP50"] == pytest.approx(1.0)
     np.testing.assert_allclose(stats["stats"], cocoeval_oracle([d], [g], 1), atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial protocol traps. Each case mirrors a specific behavior of the
+# published pycocotools source (cocoeval.py at the pycocotools 2.0 line
+# numbering): the oracle transcribes it literally, production must agree to
+# 1e-9. Key transcription anchors:
+#   * gt sorted by _ignore, stable           cocoeval.py:269 (argsort mergesort)
+#   * dt sorted by -score, stable, maxDets   cocoeval.py:270-271
+#   * greedy loop: thr floor min(t,1-1e-10)  cocoeval.py:276-296
+#     - skip gts already matched             cocoeval.py:281-282
+#     - stop at ignored gts once a real
+#       match exists (gt list is ignore-
+#       sorted, so break not continue)       cocoeval.py:284-286
+#     - strictly-better iou to switch        cocoeval.py:288-290
+#   * unmatched out-of-area dts ignored      cocoeval.py:298-302
+#   * accumulate: global stable score sort   cocoeval.py:356-358
+#     npig excludes ignored gts              cocoeval.py:360-361
+#     monotone precision envelope            cocoeval.py:377-380
+#     searchsorted(rc, recThrs, 'left')      cocoeval.py:381-383
+# ---------------------------------------------------------------------------
+
+
+def test_coco_eval_score_ties_stable_order():
+    """Equal scores across images: accumulate's mergesort keeps image order,
+    and within an image the evaluateImg det order (cocoeval.py:270, 356-358).
+    TP/FP alternate under the stable order, so any tiebreak difference in
+    the production vectorized sort shifts the PR curve."""
+    g1 = np.array([[100, 100, 200, 200, 0]], dtype=float)
+    g2 = np.array([[100, 100, 200, 200, 0]], dtype=float)
+    # img1: TP then far-off FP, same score; img2: FP then TP, same score
+    d1 = np.array(
+        [
+            [100, 100, 200, 200, 0.5, 0],
+            [400, 400, 500, 500, 0.5, 0],
+        ],
+        dtype=float,
+    )
+    d2 = np.array(
+        [
+            [400, 400, 500, 500, 0.5, 0],
+            [102, 102, 202, 202, 0.5, 0],
+        ],
+        dtype=float,
+    )
+    got = coco_eval([d1, d2], [g1, g2], 1)["stats"]
+    want = cocoeval_oracle([d1, d2], [g1, g2], 1)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_coco_eval_greedy_match_switches_with_threshold():
+    """A higher-score det takes the best-IoU gt (cocoeval.py:288-292),
+    leaving a lower-score det to a worse gt; as the threshold rises the
+    matches flip one by one. Exercises strictly-better switching and the
+    gt-already-matched skip at every threshold."""
+    g = np.array(
+        [[100, 100, 200, 200, 0], [210, 100, 310, 200, 0]], dtype=float
+    )
+    d = np.array(
+        [
+            # score .9: iou ~0.96 with gt2, ~0.0 with gt1 -> takes gt2
+            [212, 100, 312, 200, 0.9, 0],
+            # score .8: iou ~0.72 with gt1, ~0.3 with gt2(now taken)
+            [100, 130, 200, 215, 0.8, 0],
+            # score .7: iou ~0.52 with gt1 (taken at low thr -> FP, but
+            # at thr where .8-det fails (>0.72), gt1 frees up yet this det
+            # also fails -> both FP)
+            [100, 148, 200, 225, 0.7, 0],
+        ],
+        dtype=float,
+    )
+    got = coco_eval([d], [g], 1)["stats"]
+    want = cocoeval_oracle([d], [g], 1)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_coco_eval_ignored_gt_break_rule():
+    """Once a det holds a real (non-ignored) match, reaching the ignored
+    tail of the ignore-sorted gt list BREAKS the search (cocoeval.py:284-286)
+    — an ignored gt with higher IoU must NOT steal the det. The small gt is
+    out-of-range for the large area band, so in that band it is ignored and
+    sorted after the real gt."""
+    g = np.array(
+        [
+            [100, 100, 250, 250, 0],   # large: area 22500
+            [300, 300, 316, 316, 0],   # small: area 256 -> ignored in 'large'
+        ],
+        dtype=float,
+    )
+    d = np.array(
+        [
+            # overlaps the small gt perfectly AND the large gt weakly; in
+            # the large band the small gt is ignored — det must stick with
+            # its first (real) match and break, not switch to iou=1.0
+            [300, 300, 316, 316, 0.9, 0],
+            [110, 110, 250, 250, 0.8, 0],
+        ],
+        dtype=float,
+    )
+    got = coco_eval([d], [g], 1)["stats"]
+    want = cocoeval_oracle([d], [g], 1)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_coco_eval_maxdets1_with_ignored_gts():
+    """maxDets=1 truncation (cocoeval.py:271) interacting with ignore: the
+    single surviving (top-score) det matches an area-ignored gt, so AR@1 in
+    that band must count it as ignored, not as a miss of the real gt."""
+    g = np.array(
+        [
+            [0, 0, 20, 20, 0],          # area 400: ignored in medium+large
+            [100, 100, 180, 180, 0],    # area 6400: medium
+        ],
+        dtype=float,
+    )
+    d = np.array(
+        [
+            [0, 0, 20, 20, 0.95, 0],       # top det -> ignored gt
+            [100, 100, 180, 180, 0.90, 0], # truncated away at maxDets=1
+        ],
+        dtype=float,
+    )
+    got = coco_eval([d], [g], 1)["stats"]
+    want = cocoeval_oracle([d], [g], 1)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_coco_eval_duplicate_dets_on_one_gt():
+    """Duplicates: first (highest-score) det matches, the rest are FPs at
+    every threshold (gtm check, cocoeval.py:281-282)."""
+    g = np.array([[50, 50, 150, 150, 0]], dtype=float)
+    d = np.array(
+        [
+            [50, 50, 150, 150, 0.9, 0],
+            [51, 51, 151, 151, 0.8, 0],
+            [49, 49, 149, 149, 0.7, 0,],
+        ],
+        dtype=float,
+    )
+    got = coco_eval([d], [g], 1)["stats"]
+    want = cocoeval_oracle([d], [g], 1)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_coco_eval_property_1000_scenarios():
+    """Production == oracle over 1,000 random scenarios (small scenes keep
+    the pure-python oracle tractable; ties, area bands, class mismatch and
+    noise dets are all present by construction of _random_scene)."""
+    failures = []
+    for seed in range(1000):
+        rng = np.random.default_rng(10_000 + seed)
+        n_classes = int(rng.integers(1, 3))
+        dets, gts = _random_scene(
+            rng, n_imgs=int(rng.integers(1, 4)), n_classes=n_classes,
+            max_gt=4, max_dt=8,
+        )
+        got = np.asarray(coco_eval(dets, gts, n_classes)["stats"])
+        want = np.asarray(cocoeval_oracle(dets, gts, n_classes))
+        if not np.allclose(got, want, atol=1e-9):
+            failures.append((seed, got, want))
+    assert not failures, f"{len(failures)} mismatches; first: {failures[0]}"

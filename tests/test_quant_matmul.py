@@ -40,6 +40,8 @@ def _dense_oracle(x, w, bias, gamma=None, beta=None, act=None, res=None):
     out = xf @ w + bias
     if act == "gelu":
         out = jax.nn.gelu(out)
+    elif act == "silu":
+        out = jax.nn.silu(out)
     if res is not None:
         out = out + res
     return out
@@ -84,7 +86,7 @@ def test_public_entry_close_to_fp32(data):
 @pytest.mark.parametrize(
     "ln,act,residual",
     [(False, None, False), (True, None, False), (True, "gelu", False),
-     (False, None, True), (True, "gelu", True)],
+     (False, None, True), (True, "gelu", True), (False, "silu", False)],
 )
 def test_kernel_matches_reference(data, ln, act, residual, monkeypatch):
     """Interpreter-mode Pallas kernel == the pure-JAX math twin."""

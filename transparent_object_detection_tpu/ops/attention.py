@@ -70,12 +70,14 @@ def log_custom_flops(flops: float, int8: bool = False) -> None:
         _FLOP_LOG.append({"flops": flops, "int8": int8})
 
 
-def _maybe_shard_map(fn):
-    """Wrap a (q, k, v) -> out kernel launcher in shard_map over the batch
-    axis when a mesh is registered."""
-    from transparent_object_detection_tpu.ops.shard import maybe_shard_map
+def _maybe_shard_map(make_fn, num_heads: int = 1):
+    """Wrap a flash-kernel launcher factory in shard_map when a mesh is
+    registered: batch-axis sharding on a data mesh, batch+head sharding on a
+    (data, model) TP mesh (see ops/shard.py). `make_fn(local_heads)` builds
+    the launcher for the per-rank head count."""
+    from transparent_object_detection_tpu.ops.shard import maybe_shard_map_attention
 
-    return maybe_shard_map(fn)
+    return maybe_shard_map_attention(make_fn, num_heads)
 
 
 def reference_attention(q: Array, k: Array, v: Array, scale: float = 1.0) -> Array:
@@ -332,10 +334,22 @@ def _diff_flash(scale: float, bq: int, bk: int, num_heads: int):
         q, k, v, out, lse = res
         dcap = compute_dcap(out, g, num_heads)
         # backward keeps more live tiles (q, k, v, dO + two fp32 accumulators
-        # + score/grad temporaries) — use smaller blocks to fit VMEM
+        # + score/grad temporaries) — use smaller blocks to fit VMEM.
+        # Defaults from the r3 hardware sweep (benchmarks/bench_flash_bwd.py);
+        # TOD_FLASH_BWD_BQ/BK override for experiments (read at trace time).
+        import os as _os
+
         n = q.shape[1]
-        bq2 = _divisor_block(n, min(bq, 400)) or bq
-        bk2 = _divisor_block(n, min(bk, 400)) or bk
+        cap_q = int(_os.environ.get("TOD_FLASH_BWD_BQ", "400"))
+        cap_k = int(_os.environ.get("TOD_FLASH_BWD_BK", "400"))
+        bq2 = _divisor_block(n, min(bq, cap_q)) or bq
+        bk2 = _divisor_block(n, min(bk, cap_k)) or bk
+        # XLA cost analysis reports 0 for the Pallas backward too: dq kernel
+        # does s + dp + dq dots (2N^2(2Cq+Cv)), dkv kernel s + dp + dv + dk
+        # (2N^2(2Cq+2Cv)) — packed-head C gives the per-head sum exactly.
+        b = q.shape[0]
+        cq, cv = q.shape[-1], v.shape[-1]
+        log_custom_flops(2.0 * b * n * n * (4 * cq + 3 * cv))
         return flash_bwd(q, k, v, g, lse, dcap, scale, bq2, bk2, num_heads)
 
     fn.defvjp(fwd, bwd)
@@ -381,10 +395,11 @@ def attention(
         if blocks is not None:
             _log_flash_launch(b, n, c, v.shape[-1], int8=True)
             launch = _maybe_shard_map(
-                functools.partial(
-                    flash_attention_mha_int8, num_heads=num_heads, scale=scale,
+                lambda h: functools.partial(
+                    flash_attention_mha_int8, num_heads=h, scale=scale,
                     block_q=blocks[0], block_k=blocks[1],
-                )
+                ),
+                num_heads,
             )
             return launch(q, k, v)
 
@@ -409,7 +424,9 @@ def attention(
                 # head axis = grid dim slicing the packed channel axis:
                 # zero transposes in HBM; differentiable via custom VJP
                 _log_flash_launch(b, n, c, v.shape[-1])
-                launch = _maybe_shard_map(_diff_flash(scale, bq, bk, num_heads))
+                launch = _maybe_shard_map(
+                    lambda h: _diff_flash(scale, bq, bk, h), num_heads
+                )
                 return launch(q, k, v)
         # generic multi-head: fold heads into the batch axis
         dv = v.shape[-1] // num_heads
@@ -426,7 +443,7 @@ def attention(
         bk = _divisor_block(n, block_k)
         if bq is not None and bk is not None:
             _log_flash_launch(q.shape[0], n, c, v.shape[-1])
-            launch = _maybe_shard_map(_diff_flash(scale, bq, bk, 1))
+            launch = _maybe_shard_map(lambda h: _diff_flash(scale, bq, bk, h), 1)
             return launch(q, k, v)
         impl = "chunked"  # no MXU-friendly divisor: ragged N falls back
 

@@ -142,6 +142,8 @@ def _qmm_kernel(
         out = out + b_ref[0:1, :]
     if act == "gelu":
         out = jax.nn.gelu(out)
+    elif act == "silu":
+        out = out * jax.nn.sigmoid(out)
     if residual:
         out = out + r_ref[...].astype(jnp.float32)
     o_ref[...] = out.astype(o_ref.dtype)
@@ -270,6 +272,8 @@ def _qmm_reference(x, wq, w_scale, bias, res, *,
         out = out + bias
     if act == "gelu":
         out = jax.nn.gelu(out)
+    elif act == "silu":
+        out = out * jax.nn.sigmoid(out)
     if residual:
         out = out + res.astype(jnp.float32)
     return out.astype(out_dtype)

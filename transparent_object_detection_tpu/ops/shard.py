@@ -67,3 +67,41 @@ def maybe_shard_map(fn, batch_arg_indices=None):
         )(*args)
 
     return wrapped
+
+
+def maybe_shard_map_attention(make_fn, num_heads: int, model_axis: str = "model"):
+    """shard_map wrapper for the (q, k, v) -> out flash kernels, tensor-
+    parallel aware.
+
+    On a 1-D data mesh: batch-axis sharding (as maybe_shard_map). On a 2-D
+    (data, model) mesh with num_heads divisible by the model-axis size, the
+    packed-head channel axis is ALSO sharded over `model` — Megatron
+    column-parallel qkv projections (parallel/tp.py) leave exactly
+    heads/tp contiguous heads on each model rank, so attention is local per
+    rank with zero collectives; `make_fn(local_heads)` builds the kernel
+    launcher for the per-rank head count. Falls back to batch-only sharding
+    (channel replicated — tp-redundant attention compute) when heads don't
+    divide. With no mesh registered, returns the plain `make_fn(num_heads)`
+    launcher.
+    """
+    if _MESH is None:
+        return make_fn(num_heads)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis_sizes = dict(zip(_MESH.axis_names, _MESH.devices.shape))
+    tp = axis_sizes.get(model_axis, 1)
+    if tp > 1 and num_heads % tp == 0:
+        spec = P(_AXIS, None, model_axis)
+        fn = make_fn(num_heads // tp)
+    else:
+        spec = P(_AXIS)
+        fn = make_fn(num_heads)
+
+    def wrapped(q, k, v):
+        return shard_map(
+            fn, mesh=_MESH, in_specs=(spec, spec, spec), out_specs=spec,
+            check_rep=False,
+        )(q, k, v)
+
+    return wrapped

@@ -301,17 +301,23 @@ class Trainer:
             lr = float(sched(epoch))
 
             t0 = time.time()
-            tr_loss, n_tr = 0.0, 0
+            # Per-step metrics stay ON DEVICE: a float() per step would block
+            # dispatch on each step's completion and forfeit the async-
+            # dispatch overlap device_prefetch exists to feed. One stack+sum
+            # (and one host sync) per epoch instead.
+            tr_losses = []
             for batch in device_prefetch(iter(train_loader), sharding=sharding):
                 state, comps = train_step(state, batch, jnp.asarray(lr, jnp.float32))
-                tr_loss += float(comps["loss"])
-                n_tr += 1
+                tr_losses.append(comps["loss"])
+            n_tr = len(tr_losses)
+            tr_loss = float(jnp.stack(tr_losses).sum()) if tr_losses else 0.0
 
-            va_loss, n_va = 0.0, 0
+            va_losses = []
             for batch in device_prefetch(iter(val_loader), sharding=sharding):
                 comps = eval_step(state, batch)
-                va_loss += float(comps["loss"])
-                n_va += 1
+                va_losses.append(comps["loss"])
+            n_va = len(va_losses)
+            va_loss = float(jnp.stack(va_losses).sum()) if va_losses else 0.0
 
             logs = {
                 "epoch": epoch,
