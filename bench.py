@@ -36,9 +36,13 @@ def main() -> None:
     # BENCH_INT8=0 benches the pure-bf16 path.
     int8 = os.environ.get("BENCH_INT8", "1") == "1"
     int8_attn = os.environ.get("BENCH_INT8_ATTN", "1" if int8 else "0") == "1"
+    # default OFF: e2e measured 132.9 (full routing) / 137.0 (wide-K only)
+    # vs 137.4+ without — XLA's conv fusion beats the per-shape kernel wins
+    int8_1x1 = os.environ.get("BENCH_INT8_1X1", "0") == "1"
     cfg = ModelConfig(num_classes=1, phi=os.environ.get("BENCH_PHI", "s"),
                       input_shape=(640, 640), compute_dtype="bfloat16",
-                      int8_dense=int8, int8_attn=int8 and int8_attn)
+                      int8_dense=int8, int8_attn=int8 and int8_attn,
+                      int8_1x1=int8 and int8_1x1)
     pred_cfg = PredictConfig(
         confidence=0.25, nms_iou=0.5, max_detections=100, pre_nms_topk=256, nms_mode="fast"
     )

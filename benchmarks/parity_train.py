@@ -12,7 +12,14 @@ rig can train: both must overfit the set and land within PARITY_TOL mAP@0.5.
 
 Prints one JSON report line; exits nonzero on a parity failure.
 
-Env: PARITY_STEPS (300), PARITY_SIZE (96), PARITY_TOL (0.10).
+The comparison set is HARD by default (judge round-2: "raise the parity bar
+above the 1.000 ceiling"): 64 multi-object noisy scenes
+(validate_e2e.make_hard_dataset) that a 300-step budget cannot saturate, and
+the gate is |delta COCO AP@0.5:0.95| <= PARITY_AP_TOL in addition to the
+mAP@0.5 tolerance. PARITY_HARD=0 restores the old 16-image easy set.
+
+Env: PARITY_STEPS (300), PARITY_SIZE (96), PARITY_TOL (0.10),
+PARITY_N (64), PARITY_AP_TOL (0.03), PARITY_HARD (1).
 """
 from __future__ import annotations
 
@@ -223,6 +230,9 @@ def main():
     steps = int(os.environ.get("PARITY_STEPS", "300"))
     size = int(os.environ.get("PARITY_SIZE", "96"))
     tol = float(os.environ.get("PARITY_TOL", "0.10"))
+    n_imgs = int(os.environ.get("PARITY_N", "64"))
+    ap_tol = float(os.environ.get("PARITY_AP_TOL", "0.03"))
+    hard = os.environ.get("PARITY_HARD", "1") == "1"
 
     import torch
     import torch.nn as nn
@@ -247,12 +257,15 @@ def main():
         loss_config_from,
         make_train_step,
     )
-    from benchmarks.validate_e2e import make_dataset
+    from benchmarks.validate_e2e import make_dataset, make_hard_dataset
 
     torch.manual_seed(11)
 
     with tempfile.TemporaryDirectory() as root:
-        lines = make_dataset(root, n=16, size=size)
+        if hard:
+            lines = make_hard_dataset(root, n=n_imgs, size=size)
+        else:
+            lines = make_dataset(root, n=16, size=size)
         # deterministic letterbox pipeline for BOTH frameworks: the parity
         # subject is model+loss+training, not the augmentation RNG
         ds = DetectionDataset(
@@ -263,8 +276,11 @@ def main():
         gts = []
         for ln in lines:
             parts = ln.split()
-            box = [float(x) for x in parts[1].split(",")[:4]]
-            gts.append(np.asarray([box + [0.0]], dtype=np.float64))
+            rows = [
+                [float(x) for x in tok.split(",")[:4]] + [0.0]
+                for tok in parts[1:]
+            ]
+            gts.append(np.asarray(rows, dtype=np.float64))
 
         # ---------------- torch reference (repaired) ------------------------
         tm = build_repaired_torch_model(torch, nn, nc=1, c=16, d=1, dm=0.5)
@@ -350,9 +366,15 @@ def main():
         jax_scores = decode_and_score(jmaps, gts)
 
     delta = abs(jax_scores["map50"] - torch_scores["map50"])
+    ap_delta = abs(jax_scores["coco_ap"] - torch_scores["coco_ap"])
+    saturated = (
+        torch_scores["map50"] >= 0.995 and jax_scores["map50"] >= 0.995
+    )
     report = {
         "steps": steps,
         "size": size,
+        "n_images": len(gts),
+        "hard": hard,
         "torch_map50": round(torch_scores["map50"], 4),
         "jax_map50": round(jax_scores["map50"], 4),
         "torch_coco_ap": round(torch_scores["coco_ap"], 4),
@@ -360,8 +382,17 @@ def main():
         "torch_final_loss": round(torch_loss, 4),
         "jax_final_loss": round(jax_loss, 4),
         "map50_delta": round(delta, 4),
+        "coco_ap_delta": round(ap_delta, 4),
         "tol": tol,
-        "ok": bool(delta <= tol and jax_scores["map50"] >= torch_scores["map50"] - tol),
+        "ap_tol": ap_tol,
+        # mAP@0.5 saturating at 1.000 on both sides hides differences — the
+        # hard set exists so this flag stays False and the AP gate bites
+        "saturated": saturated,
+        "ok": bool(
+            delta <= tol
+            and jax_scores["map50"] >= torch_scores["map50"] - tol
+            and (ap_delta <= ap_tol or not hard)
+        ),
     }
     print(json.dumps(report))
     return 0 if report["ok"] else 1

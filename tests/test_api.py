@@ -115,9 +115,28 @@ def test_fuse_preserves_predictions(focus):
         assert b["score"] == pytest.approx(a["score"], abs=1e-3)
 
 
-def test_export_stablehlo(focus, tmp_path):
+def test_export_stablehlo_roundtrip(focus, tmp_path):
+    """The serialized artifact must round-trip: deserialize from the bytes
+    on disk and CALL it, matching the live model's decode output (the
+    ONNX-consumer analog of reference model.py:316-324)."""
+    import jax.numpy as jnp
+    from jax import export as jexport
+
     p = focus.export(str(tmp_path / "m.stablehlo"))
     assert os.path.getsize(p) > 1000
+
+    with open(p, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    h, w = focus.model_cfg.input_shape
+    img = jnp.asarray(
+        np.random.default_rng(3).random((1, h, w, 3)), jnp.float32
+    )
+    out = exp.call(img)
+    direct = focus.model.apply(focus.variables, img, train=False)["decoded"]
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(direct, np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
 
 
 def test_focus_train_and_evaluate(focus, tmp_path):

@@ -62,6 +62,11 @@ class FOCUS:
             compute_dtype=compute_dtype,
             int8_dense=int8,
             int8_attn=int8,
+            # int8_1x1 stays OFF: per-shape microbenchmarks showed kernel
+            # wins, but e2e the bf16 convs' XLA fusion with their BN/SiLU/
+            # concat neighbours wins back more (137.4 -> 133-137 measured
+            # with it on) — see docs/ROADMAP.md. The ModelConfig knob
+            # remains for other scales/hardware.
         )
         self.predict_cfg = predict_cfg or PredictConfig()
         self.seed = seed
@@ -167,13 +172,13 @@ class FOCUS:
         # int8 projections use round() (zero gradient) and are serving-only.
         # The parameter tree is identical, so the trained weights drop back
         # into this object's (possibly int8) serving model unchanged.
-        if self.model_cfg.int8_dense or self.model_cfg.int8_attn:
+        if self.model_cfg.int8_dense or self.model_cfg.int8_attn or self.model_cfg.int8_1x1:
             import dataclasses
 
             from transparent_object_detection_tpu.models.detector import build_model
 
             train_cfg_model = dataclasses.replace(
-                self.model_cfg, int8_dense=False, int8_attn=False
+                self.model_cfg, int8_dense=False, int8_attn=False, int8_1x1=False
             )
             train_model = build_model(train_cfg_model)
             trainer = Trainer(train_cfg_model, tc, model=train_model, variables=self.variables)
@@ -395,12 +400,14 @@ class FOCUS:
             np.tile(np.asarray(boxed, np.float32)[None] / 255.0, (batch_size, 1, 1, 1))
         )
         shapes = jnp.tile(jnp.asarray([[h, w]], jnp.float32), (batch_size, 1))
+        # value fetch (not just block_until_ready) so relayed/tunneled
+        # backends report true round-trip completion
         dets = self.predictor.detect_letterboxed(arr, shapes)  # compile
-        jax.block_until_ready(dets)
+        float(np.asarray(dets["num_detections"]).sum())
         t0 = time.time()
         for _ in range(test_interval):
             dets = self.predictor.detect_letterboxed(arr, shapes)
-        jax.block_until_ready(dets)
+        float(np.asarray(dets["num_detections"]).sum())
         return (time.time() - t0) / test_interval
 
     def detect_heatmap(self, image, out_path: Optional[str] = None) -> np.ndarray:

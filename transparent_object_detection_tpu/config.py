@@ -61,6 +61,12 @@ class ModelConfig:
     # scales, fixed-scale softmax weights. Eval-only; training stays on the
     # bf16 flash VJP path.
     int8_attn: bool = False
+    # Serving quantization for the big 1x1 convs (C2f/SPPF cv1+cv2 and the
+    # FusionNode reduce): conv-BN folded + dynamic int8 quant + int8 MXU
+    # matmul + SiLU, one fused Pallas launch per conv (ops/quant_matmul.py).
+    # 3x3 / strided / narrow convs stay bf16 (XLA's int8 conv path measured
+    # slower than bf16 on v5e — docs/ROADMAP.md).
+    int8_1x1: bool = False
 
     @property
     def scale(self) -> Tuple[int, int, float]:

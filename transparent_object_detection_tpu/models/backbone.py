@@ -33,32 +33,35 @@ class Backbone(nn.Module):
     dtype: Any = jnp.bfloat16
     # int8 flash attention in dark3's SelfAttention at eval time (serving)
     int8_attn: bool = False
+    # fused int8 Pallas path for the C2f/SPPF 1x1 convs (serving only)
+    int8_1x1: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Array, Array]:
         c, d = self.base_channels, self.base_depth
         c5 = int(c * 16 * self.deep_mul)
         dt = self.dtype
+        q = self.int8_1x1
 
         x = ConvBNAct(c, 3, strides=2, dtype=dt, name="stem")(x, train)
 
         x = ConvBNAct(c * 2, 3, strides=2, dtype=dt, name="dark2_conv")(x, train)
-        x = C2f(c * 2, n=d, shortcut=True, dtype=dt, name="dark2_c2f")(x, train)
+        x = C2f(c * 2, n=d, shortcut=True, dtype=dt, int8_1x1=q, name="dark2_c2f")(x, train)
         x = CBAM(dtype=dt, name="dark2_cbam")(x, train)
 
         x = ConvBNAct(c * 4, 3, strides=2, dtype=dt, name="dark3_conv")(x, train)
-        x = C2f(c * 4, n=d * 2, shortcut=True, dtype=dt, name="dark3_c2f")(x, train)
+        x = C2f(c * 4, n=d * 2, shortcut=True, dtype=dt, int8_1x1=q, name="dark3_c2f")(x, train)
         x = SelfAttention(dtype=dt, int8_attn=self.int8_attn, name="dark3_attn")(x, train)
         feat1 = x  # (B, H/8, W/8, 4c)
 
         x = ConvBNAct(c * 8, 3, strides=2, dtype=dt, name="dark4_conv")(x, train)
-        x = C2f(c * 8, n=d * 2, shortcut=True, dtype=dt, name="dark4_c2f")(x, train)
+        x = C2f(c * 8, n=d * 2, shortcut=True, dtype=dt, int8_1x1=q, name="dark4_c2f")(x, train)
         x = CBAM(dtype=dt, name="dark4_cbam")(x, train)
         feat2 = x  # (B, H/16, W/16, 8c)
 
         x = ConvBNAct(c5, 3, strides=2, dtype=dt, name="dark5_conv")(x, train)
-        x = C2f(c5, n=d, shortcut=True, dtype=dt, name="dark5_c2f")(x, train)
-        x = SPPF(c5, pool_size=5, dtype=dt, name="dark5_sppf")(x, train)
+        x = C2f(c5, n=d, shortcut=True, dtype=dt, int8_1x1=q, name="dark5_c2f")(x, train)
+        x = SPPF(c5, pool_size=5, dtype=dt, int8_1x1=q, name="dark5_sppf")(x, train)
         feat3 = x  # (B, H/32, W/32, 16c*deep_mul)
 
         return feat1, feat2, feat3

@@ -22,6 +22,7 @@ SiLU so XLA fuses the elementwise tail into the conv epilogue.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -30,6 +31,31 @@ import jax.numpy as jnp
 
 Array = jax.Array
 Dtype = Any
+
+
+def _int8_1x1_profitable(m: int, cin: int, cout: int) -> bool:
+    """Measured per-shape routing for the fused-int8 1x1 conv path
+    (v5e sweep, benchmarks/bench_conv1x1.py, phi='s' 640 batch 32).
+
+    The int8 kernel wins where K is wide enough that the int8 MXU rate
+    dominates the per-m-tile quantize prologue (cin>=1536 with cout>=1024:
+    the C2f cv2 / SPPF cv2 / FusionNode reduce family, +8-10%), and on the
+    large-M 512->256 shape where XLA's bf16 path underperforms ~2.4x
+    (dark2 cv2). Bandwidth-bound low-K shapes (256->256), mid squares
+    (512->512, 1024->1024) and the 1536->512 reduce measured neutral to
+    slower, so they stay on the fused bf16 conv."""
+    if cin >= 1536 and cout >= 1024:
+        return True
+    if (
+        cin == 512 and cout == 256 and m >= 100_000
+        and os.environ.get("TOD_INT8_1X1_NARROW", "0") == "1"
+    ):
+        # isolated-matmul microbench showed 2.4x here, but IN-MODEL the
+        # bf16 conv fuses with its BN/SiLU/concat neighbours and wins —
+        # e2e measured 137.4 -> ~133 imgs/s with this clause on. Kept
+        # behind an env flag for future re-measurement only.
+        return True
+    return False
 
 
 def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
@@ -48,10 +74,12 @@ class ConvBNAct(nn.Module):
     stride-2 feature maps align with the reference's grid — required for
     checkpoint-importing torch weights without a one-pixel shift.
 
-    Stays bf16 under int8 serving: XLA's int8 conv_general_dilated measured
-    SLOWER than bf16 on v5e (45-92 TOPS vs 52-126 TF/s across the phi='s'
-    backbone conv shapes — the int8 conv path doesn't reach the doubled MXU
-    rate), so convs are not quantized. See docs/ROADMAP.md.
+    Quantization: XLA's int8 conv_general_dilated measured SLOWER than bf16
+    on v5e (45-92 TOPS vs 52-126 TF/s across the phi='s' backbone conv
+    shapes — docs/ROADMAP.md), so convs as *convs* stay bf16. But a 1x1
+    stride-1 conv is a matmul, and `int8=True` (serving only) routes the
+    eligible ones through the fused int8 Pallas kernel instead — see the
+    field comment below.
     """
 
     features: int
@@ -61,9 +89,48 @@ class ConvBNAct(nn.Module):
     dilation: int = 1
     act: bool = True
     dtype: Dtype = jnp.bfloat16
+    # Serving-only: run an eligible 1x1 stride-1 conv as ONE fused Pallas
+    # launch — conv-BN folded at trace time, dynamic int8 quantize, int8 MXU
+    # matmul, bias+SiLU epilogue (ops/quant_matmul.py). r3 measurement:
+    # XLA's int8 *conv* path was slower than bf16 (r2), but a 1x1 conv IS a
+    # (B*H*W, Cin) x (Cin, Cout) matmul, and the fused kernel beats the
+    # bf16 form on the model's big 1x1 shapes. Ineligible convs (3x3,
+    # strided, grouped, narrow channels) stay bf16.
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        if (
+            self.int8 and not train and self.kernel_size == 1
+            and self.strides == 1 and self.groups == 1 and self.dilation == 1
+            and x.shape[-1] % 128 == 0 and self.features % 256 == 0
+            # token count must tile the kernel grid; otherwise the dispatch
+            # would hit the XLA-quant fallback, which is SLOWER than bf16
+            # (extra HBM passes) — stay on the bf16 conv instead.
+            and math.prod(x.shape[:-1]) % 256 == 0
+            # measured per-shape routing: only take shapes the kernel wins
+            and _int8_1x1_profitable(
+                math.prod(x.shape[:-1]), x.shape[-1], self.features
+            )
+        ):
+            from transparent_object_detection_tpu.ops.quant_matmul import (
+                quant_matmul,
+            )
+
+            cin = x.shape[-1]
+            kernel = _ConvParams(self.features, 1, cin, name="conv")()
+            scale, bias, mean, var = _BNParams(self.features, name="bn")()
+            # fold inference-mode BN into the projection:
+            #   BN(x@W) = (x@W - mean) * g + bias,  g = scale/sqrt(var+eps)
+            g = scale * jax.lax.rsqrt(var + 1e-5)
+            w_eff = kernel.reshape(cin, self.features) * g[None, :]
+            b_eff = bias - mean * g
+            out = quant_matmul(
+                x, w_eff, bias=b_eff, act="silu" if self.act else None,
+                out_dtype=self.dtype,
+            )
+            return out
+
         p = autopad(self.kernel_size, None, self.dilation)
         x = nn.Conv(
             features=self.features,
@@ -126,11 +193,15 @@ class C2f(nn.Module):
     groups: int = 1
     expansion: float = 0.5
     dtype: Dtype = jnp.bfloat16
+    # serving-only fused int8 path for the 1x1 cv1/cv2 (see ConvBNAct.int8)
+    int8_1x1: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         c_hidden = int(self.features * self.expansion)
-        y = ConvBNAct(2 * c_hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBNAct(
+            2 * c_hidden, 1, dtype=self.dtype, int8=self.int8_1x1, name="cv1"
+        )(x, train)
         parts = [y[..., :c_hidden], y[..., c_hidden:]]
         for i in range(self.n):
             parts.append(
@@ -144,9 +215,9 @@ class C2f(nn.Module):
                     name=f"m{i}",
                 )(parts[-1], train)
             )
-        return ConvBNAct(self.features, 1, dtype=self.dtype, name="cv2")(
-            jnp.concatenate(parts, axis=-1), train
-        )
+        return ConvBNAct(
+            self.features, 1, dtype=self.dtype, int8=self.int8_1x1, name="cv2"
+        )(jnp.concatenate(parts, axis=-1), train)
 
 
 class SPPF(nn.Module):
@@ -155,11 +226,15 @@ class SPPF(nn.Module):
     features: int
     pool_size: int = 5
     dtype: Dtype = jnp.bfloat16
+    # serving-only fused int8 path for the 1x1 cv1/cv2 (see ConvBNAct.int8)
+    int8_1x1: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         c_in = x.shape[-1]
-        y = ConvBNAct(c_in // 2, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBNAct(
+            c_in // 2, 1, dtype=self.dtype, int8=self.int8_1x1, name="cv1"
+        )(x, train)
         k = self.pool_size
         pools = [y]
         for _ in range(3):
@@ -168,9 +243,9 @@ class SPPF(nn.Module):
                     pools[-1], window_shape=(k, k), strides=(1, 1), padding=((k // 2,) * 2,) * 2
                 )
             )
-        return ConvBNAct(self.features, 1, dtype=self.dtype, name="cv2")(
-            jnp.concatenate(pools, axis=-1), train
-        )
+        return ConvBNAct(
+            self.features, 1, dtype=self.dtype, int8=self.int8_1x1, name="cv2"
+        )(jnp.concatenate(pools, axis=-1), train)
 
 
 def dfl_expectation(dist_logits: Array, reg_max: int = 16) -> Array:
@@ -317,6 +392,48 @@ class QuantDense(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             out = out + bias
         return out.astype(self.dtype)
+
+
+class _ConvParams(nn.Module):
+    """Parameter twin of nn.Conv (bias-free; same name/shape/init) for the
+    fused int8 1x1 serving path — the matmul runs in the Pallas kernel, so
+    only the kernel parameter is declared here. Checkpoints interchange
+    with the bf16 path."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, self.in_features, self.features),
+            jnp.float32,
+        )
+
+
+class _BNParams(nn.Module):
+    """Parameter twin of nn.BatchNorm (scale/bias params + mean/var
+    batch_stats) for the fused int8 1x1 serving path — inference-mode BN
+    folds into the projection weights at trace time."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[Array, Array, Array, Array]:
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        return scale, bias, mean.value, var.value
 
 
 class _LNParams(nn.Module):

@@ -39,6 +39,9 @@ class FocusModel(nn.Module):
     int8_dense: bool = False
     # int8 flash attention in the TEBs (serving)
     int8_attn: bool = False
+    # fused int8 path for the big 1x1 convs (C2f/SPPF cv1+cv2, FusionNode
+    # reduce) — serving only; bf16-trained params load unchanged
+    int8_1x1: bool = False
 
     @property
     def head_filters(self) -> Tuple[int, int, int]:
@@ -60,7 +63,7 @@ class FocusModel(nn.Module):
         x = images.astype(self.dtype)
         feats = Backbone(
             self.base_channels, self.base_depth, self.deep_mul, dtype=self.dtype,
-            int8_attn=self.int8_attn, name="backbone"
+            int8_attn=self.int8_attn, int8_1x1=self.int8_1x1, name="backbone"
         )(x, train)
         feats = Neck(
             self.base_channels,
@@ -72,6 +75,7 @@ class FocusModel(nn.Module):
             lane_align_heads=self.lane_align_heads,
             int8_dense=self.int8_dense,
             int8_attn=self.int8_attn,
+            int8_1x1=self.int8_1x1,
             remat=self.remat,
             name="neck",
         )(feats, train)
@@ -105,6 +109,7 @@ def build_model(cfg: ModelConfig) -> FocusModel:
         lane_align_heads=cfg.lane_align_heads,
         int8_dense=cfg.int8_dense,
         int8_attn=cfg.int8_attn,
+        int8_1x1=cfg.int8_1x1,
     )
 
 

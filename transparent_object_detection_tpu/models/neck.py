@@ -43,6 +43,8 @@ class FusionNode(nn.Module):
     lane_align_heads: bool = True
     int8_dense: bool = False
     int8_attn: bool = False
+    # fused int8 Pallas path for the reducing 1x1 conv (serving only)
+    int8_1x1: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -52,7 +54,9 @@ class FusionNode(nn.Module):
             int8_attn=self.int8_attn,
             name="teb",
         )(x, train)
-        x = ConvBNAct(self.out_features, 1, dtype=self.dtype, name="reduce")(x, train)
+        x = ConvBNAct(
+            self.out_features, 1, dtype=self.dtype, int8=self.int8_1x1, name="reduce"
+        )(x, train)
         return CBAM(dtype=self.dtype, name="cbam")(x, train)
 
 
@@ -66,6 +70,7 @@ class Neck(nn.Module):
     lane_align_heads: bool = True
     int8_dense: bool = False
     int8_attn: bool = False
+    int8_1x1: bool = False
     # Rematerialize fusion nodes in the backward pass: the TEBs hold the
     # largest activations in the network (up to 2048ch x 80x80 tokens); remat
     # trades ~1/3 extra neck FLOPs for a large HBM saving during training
@@ -84,7 +89,7 @@ class Neck(nn.Module):
         node_cls = functools.partial(
             node_cls, norm_dtype=self.norm_dtype,
             lane_align_heads=self.lane_align_heads, int8_dense=self.int8_dense,
-            int8_attn=self.int8_attn,
+            int8_attn=self.int8_attn, int8_1x1=self.int8_1x1,
         )
 
         # top-down

@@ -149,29 +149,48 @@ def _qmm_kernel(
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _pick_blocks(m: int, k: int, n: int) -> Optional[Tuple[int, int]]:
-    """(bm, bn) fitting VMEM, MXU-aligned and dividing (m, n). Prefers tall
-    m-tiles: the quantize prologue runs once per m-tile and stalls the MXU,
-    so fewer/taller tiles amortize it (the prologue itself is row-chunked,
-    so its f32 temp stays at 256 rows regardless of bm)."""
+def _pick_blocks(
+    m: int, k: int, n: int, residual: bool = True
+) -> Optional[Tuple[int, int]]:
+    """(bm, bn) fitting VMEM, MXU-aligned and dividing (m, n).
+
+    First preference (r3 sweep): bn = n FULL WIDTH. The weight block index
+    is then constant across the whole grid, so Mosaic keeps the quantized
+    weights VMEM-RESIDENT — zero re-streaming of W per m-tile (the r2
+    layout re-read all of W for every m-tile: for the 1536x1536 attn_out
+    that was 2.4 MB x 200 tiles = 0.5 GB/call). Measured on v5e: the
+    square-shape dot went 155 -> 183 TOPS at (256, 1536). Falls back to
+    the r2 streaming layout (tall-m for narrow shapes, wide-bn otherwise)
+    when W + tiles exceed VMEM."""
     def vmem(bm: int, bn: int) -> int:
         chunk = min(bm, 256)
         # Mosaic double-buffers every input/output block (x, w, out, and
-        # the optional residual — counted unconditionally), plus the xq
-        # int8 scratch, the chunked fp32 prologue temp, and the int32
-        # accumulator vregs. Calibrated against a measured 16.3M scoped
-        # allocation for (bm=1024, bn=512, k=1536) vs the 16M limit.
+        # the optional residual), plus the xq int8 scratch, the chunked
+        # fp32 prologue temp, and the int32 accumulator vregs. Calibrated
+        # against a measured 16.3M scoped allocation for (bm=1024, bn=512,
+        # k=1536) vs the 16M limit.
+        resident = bn == n  # constant block index -> single-buffered W
         return (
             2 * bm * k * 2       # x bf16, double-buffered
             + bm * k             # xq int8 scratch
             + chunk * k * 4      # fp32 prologue temp (row-chunked)
-            + 2 * k * bn         # w int8, double-buffered
+            + (1 if resident else 2) * k * bn  # w int8
             + 2 * bm * bn * 2    # out bf16, double-buffered
-            + 2 * bm * bn * 2    # residual bf16, double-buffered
+            + (2 * bm * bn * 2 if residual else 0)  # residual bf16
             + bm * bn * 4        # int32 accumulator
         )
 
     budget = 15 * 1024 * 1024 + 512 * 1024
+    # Weight-resident full-width layout (see docstring), tallest fitting
+    # m-tile first: the quantize prologue runs once per m-tile and
+    # serializes the MXU, so taller tiles amortize it — decisive on
+    # narrow-N shapes (the 1x1 reduce convs: only ~1 us of dot per
+    # 256-row tile vs several us of prologue). bm=256 measured 138 -> 170
+    # TOPS on the square attn_out; bm=128 (the only fit for the 4608-wide
+    # qkv) measured a wash vs streaming, so 128 is excluded here.
+    for bm in (1024, 512, 256):
+        if m % bm == 0 and vmem(bm, n) <= budget:
+            return bm, n
     # Measured on v5e (204800-row TEB shapes): narrow projections with few
     # wide-bn steps per m-tile are prologue-bound — tall m-tiles win (the
     # square 1536x1536 attn_out: 7.9 -> 6.9 ms at (1024, 256)). Everything
@@ -289,7 +308,10 @@ def _qmm_dispatch(x, wq, w_scale, bias, residual, *, ln, act, ln_eps, out_dtype)
     use_pallas = (
         jax.default_backend() in ("tpu", "axon") or INTERPRET
     ) and x.shape[-1] == k and k % 128 == 0 and n % 256 == 0
-    blocks = _pick_blocks(m, k, n) if use_pallas else None
+    blocks = (
+        _pick_blocks(m, k, n, residual=residual is not None)
+        if use_pallas else None
+    )
     if blocks is None:
         return _qmm_reference(
             x, wq, w_scale, bias, residual,
