@@ -170,6 +170,69 @@ def main():
 
             f = jax.jit(xla_dot)
             t = timed(f, xq, wq, iters=iters)
+        elif mode == "pquant":
+            # Pallas one-pass [LN+]quant kernel -> XLA raw int8 dot with the
+            # rank-1 dequant/bias/act fused by XLA into the dot consumer.
+            # Differs from the REJECTED 'XLA pre-quantize' experiment: there
+            # the quant pass itself ran as unfused XLA reductions (multiple
+            # HBM round trips); here it is one Pallas pass, and the dot gets
+            # XLA's own int8 schedule (measured 267 TOPS on qkv vs our
+            # kernel's 233).
+            from jax.experimental.pallas import tpu as pltpu
+
+            wq, ws = quantize_weights(w)
+            bq = 512
+
+            def _quant_kernel(x_ref, xq_ref, xs_ref, *, ln_: bool):
+                xf = x_ref[...].astype(jnp.float32)
+                if ln_:
+                    mu = jnp.mean(xf, axis=1, keepdims=True)
+                    m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
+                    d = xf - mu
+                    var = jnp.maximum(m2 - mu * mu, 0.0)
+                    rstd = jax.lax.rsqrt(var + 1e-6)
+                else:
+                    d = xf
+                    rstd = 1.0
+                amax = jnp.maximum(
+                    jnp.max(jnp.abs(d), axis=1, keepdims=True), 1e-12
+                )
+                xq_ref[...] = jnp.round(d * (127.0 / amax)).astype(jnp.int8)
+                xs_ref[...] = amax * (1.0 / 127.0) * rstd
+
+            @jax.jit
+            def pq_full(x, wq, ws, res=None):
+                xq, xs = pl.pallas_call(
+                    functools.partial(_quant_kernel, ln_=ln),
+                    grid=(m // bq,),
+                    in_specs=[pl.BlockSpec((bq, k), lambda mi: (mi, 0))],
+                    out_specs=[
+                        pl.BlockSpec((bq, k), lambda mi: (mi, 0)),
+                        pl.BlockSpec((bq, 1), lambda mi: (mi, 0)),
+                    ],
+                    out_shape=[
+                        jax.ShapeDtypeStruct((m, k), jnp.int8),
+                        jax.ShapeDtypeStruct((m, 1), jnp.float32),
+                    ],
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("parallel",),
+                    ),
+                )(x)
+                acc = jax.lax.dot_general(
+                    xq, wq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                out = acc.astype(jnp.float32) * xs * ws + bias
+                if act == "gelu":
+                    out = jax.nn.gelu(out)
+                if res is not None:
+                    out = out + res.astype(jnp.float32)
+                return out.astype(jnp.bfloat16)
+
+            if residual:
+                t = timed(pq_full, x, wq, ws, res, iters=iters)
+            else:
+                t = timed(pq_full, x, wq, ws, iters=iters)
         elif mode == "xla":
             wq, ws = quantize_weights(w)
 
