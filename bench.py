@@ -138,6 +138,22 @@ def main() -> None:
         record["mfu"] = round(imgs_per_sec * sol_per_img, 4)
         # FLOP speed-of-light on this chip for this exact program
         record["ceiling_imgs_per_sec"] = round(1.0 / sol_per_img, 1)
+    # Batch-1 end-to-end latency (the reference's only perf harness is
+    # exactly this: predict.py "fps" mode, mean over 100 runs,
+    # reference predict.py:154-157). Same serving program at batch 1;
+    # BENCH_LATENCY=0 skips (saves a compile on cold caches).
+    if os.environ.get("BENCH_LATENCY", "1") == "1":
+        img1, shp1 = images[:1], shapes[:1]
+        out = step(variables, images=img1, image_shapes=shp1)
+        float(out["num_detections"].sum())
+        lat_iters = 50
+        t0 = time.perf_counter()
+        for _ in range(lat_iters):
+            out = step(variables, images=img1, image_shapes=shp1)
+            out["num_detections"].block_until_ready()
+        record["batch1_latency_ms"] = round(
+            (time.perf_counter() - t0) / lat_iters * 1e3, 2
+        )
     # Aggregate data-parallel projection (serving has no cross-image
     # communication; FOCUS.serve_mesh shards the batch over a 'data' mesh
     # and the Pallas kernels run under shard_map). The projection holds only

@@ -181,7 +181,11 @@ def main():
             from jax.experimental.pallas import tpu as pltpu
 
             wq, ws = quantize_weights(w)
-            bq = 512
+            # bq*K*(bf16 in x2 + int8 out + f32 transient) must fit scoped
+            # VMEM (~12 MB usable): bq <= 12e6 / (9*K), lane-aligned.
+            bq = 512 if k <= 2048 else (256 if k <= 6144 else 128)
+            while m % bq:
+                bq //= 2
 
             def _quant_kernel(x_ref, xq_ref, xs_ref, *, ln_: bool):
                 xf = x_ref[...].astype(jnp.float32)

@@ -133,6 +133,36 @@ def test_untileable_shapes_fall_back(data):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("ln", [False, True])
+def test_split_path_matches_reference(data, ln, monkeypatch):
+    """The split path (_pquant_call: Pallas quant pass -> XLA int8 dot ->
+    XLA epilogue) computes the same math as the fused kernel's twin."""
+    monkeypatch.setattr(qmm_mod, "INTERPRET", True)
+    x, w, bias, gamma, beta, res = data
+    wq, ws, bias_eff = _folded(w, bias, gamma, beta, ln)
+    got = qmm_mod._pquant_call(
+        x, wq, ws.astype(jnp.float32), bias_eff,
+        out_dtype=jnp.float32, ln=ln, act=None, ln_eps=1e-6,
+    )
+    ref = _qmm_reference(
+        x, wq, ws, bias_eff, None,
+        ln=ln, act=None, residual=False, ln_eps=1e-6, out_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_prefer_split_routes_qkv_only():
+    """Measured routing: only the large wide-N qkv family (n == 3k, LN,
+    no act/residual) takes the split path."""
+    assert qmm_mod._prefer_split(204800, 1536, 4608, True, None, None)
+    assert qmm_mod._prefer_split(51200, 2048, 6144, True, None, None)
+    # attn_out (residual), mlp1 (gelu), mlp2 (residual), small m: fused
+    assert not qmm_mod._prefer_split(204800, 1536, 1536, False, None, object())
+    assert not qmm_mod._prefer_split(204800, 1536, 6144, True, "gelu", None)
+    assert not qmm_mod._prefer_split(204800, 6144, 1536, False, None, object())
+    assert not qmm_mod._prefer_split(12800, 3072, 9216, True, None, None)
+
+
 # ---------------------------------------------------------------------------
 # multi-chip: the int8 TEB path must partition under a data mesh
 # ---------------------------------------------------------------------------

@@ -334,14 +334,17 @@ def _diff_flash(scale: float, bq: int, bk: int, num_heads: int):
         q, k, v, out, lse = res
         dcap = compute_dcap(out, g, num_heads)
         # backward keeps more live tiles (q, k, v, dO + two fp32 accumulators
-        # + score/grad temporaries) — use smaller blocks to fit VMEM.
-        # Defaults from the r3 hardware sweep (benchmarks/bench_flash_bwd.py);
+        # + score/grad temporaries) — blocks must fit VMEM. Defaults from the
+        # r3 hardware sweep (benchmarks/bench_flash_bwd.py): narrow-q/wide-kv,
+        # same pattern as the forward — 400/1600 took the 6400-token training
+        # shape 139.1 -> 116.2 ms and the 1600-token one 16.6 -> 13.6 vs the
+        # old 400/400 (wider kv OOMs VMEM, 800/400 and 200/* all slower).
         # TOD_FLASH_BWD_BQ/BK override for experiments (read at trace time).
         import os as _os
 
         n = q.shape[1]
         cap_q = int(_os.environ.get("TOD_FLASH_BWD_BQ", "400"))
-        cap_k = int(_os.environ.get("TOD_FLASH_BWD_BK", "400"))
+        cap_k = int(_os.environ.get("TOD_FLASH_BWD_BK", "1600"))
         bq2 = _divisor_block(n, min(bq, cap_q)) or bq
         bk2 = _divisor_block(n, min(bk, cap_k)) or bk
         # XLA cost analysis reports 0 for the Pallas backward too: dq kernel

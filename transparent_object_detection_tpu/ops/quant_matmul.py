@@ -214,6 +214,84 @@ def _pick_blocks(
     return None
 
 
+def _quant_rows_kernel(x_ref, xq_ref, xs_ref, *, ln: bool, ln_eps: float):
+    """One-pass [LN-normalize +] per-row dynamic int8 quantization.
+
+    Emits the int8 payload and the per-row dequant scale (with rsqrt folded
+    in, same algebra as _qmm_kernel's prologue) for the SPLIT path: the dot
+    itself then runs as a plain XLA int8 dot_general, which schedules the
+    MXU better than the fused kernel on wide-N shapes (see _prefer_split)."""
+    xf = x_ref[...].astype(jnp.float32)
+    if ln:
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
+        d = xf - mu
+        var = jnp.maximum(m2 - mu * mu, 0.0)
+        rstd = jax.lax.rsqrt(var + ln_eps)
+    else:
+        d = xf
+        rstd = 1.0
+    amax = jnp.maximum(jnp.max(jnp.abs(d), axis=1, keepdims=True), 1e-12)
+    xq_ref[...] = jnp.round(d * (127.0 / amax)).astype(jnp.int8)
+    xs_ref[...] = amax * (1.0 / 127.0) * rstd
+
+
+def _prefer_split(m: int, k: int, n: int, ln: bool, act, residual) -> bool:
+    """Measured r3 routing (bench_qmm base vs pquant on v5e): the split
+    quant-pass + XLA int8 dot wins on the wide-N qkv projections
+    (n == 3k, LN, no act/residual: 212.9 -> 236.7 TOPS on the 1536->4608
+    h2 qkv, 187.3 -> 196.6 on the 2048->6144 h1 qkv); the fused kernel
+    wins everywhere else (attn_out 152.5 vs 131.4, mlp1 225.6 vs 219.0,
+    mlp2 203.9 vs 208.5 within noise)."""
+    return (
+        ln and act is None and residual is None
+        and n == 3 * k and m >= 51200 and m % 512 == 0
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "ln", "act", "ln_eps")
+)
+def _pquant_call(x2d, wq, w_scale, bias, *, out_dtype, ln, act, ln_eps):
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x2d.shape
+    # bq * K * (bf16 in, double-buffered + int8 out + f32 transient) must
+    # fit scoped VMEM (~12 MB usable)
+    bq = 512 if k <= 2048 else (256 if k <= 6144 else 128)
+    while m % bq:
+        bq //= 2
+    xq, xs = pl.pallas_call(
+        functools.partial(_quant_rows_kernel, ln=ln, ln_eps=ln_eps),
+        grid=(m // bq,),
+        in_specs=[pl.BlockSpec((bq, k), lambda mi: (mi, 0))],
+        out_specs=[
+            pl.BlockSpec((bq, k), lambda mi: (mi, 0)),
+            pl.BlockSpec((bq, 1), lambda mi: (mi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), jnp.int8),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=INTERPRET,
+    )(x2d)
+    acc = jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * xs * w_scale
+    if bias is not None:
+        out = out + bias.reshape(1, -1)
+    if act == "gelu":
+        out = jax.nn.gelu(out)
+    elif act == "silu":
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(out_dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "bm", "bn", "ln", "act", "residual", "ln_eps"),
@@ -321,6 +399,19 @@ def _qmm_dispatch(x, wq, w_scale, bias, residual, *, ln, act, ln_eps, out_dtype)
     bm, bn = blocks
 
     from transparent_object_detection_tpu.ops.attention import log_custom_flops
+
+    if _prefer_split(m, k, n, ln, act, residual):
+        # Split path: the int8 dot is a plain XLA dot_general, so XLA's
+        # cost analysis already counts its 2mkn as (bf16-rate) flops —
+        # log a negative bf16 correction and the same work as int8 so
+        # bench.py charges it against the int8 MXU peak.
+        log_custom_flops(-2.0 * m * k * n, int8=False)
+        log_custom_flops(2.0 * m * k * n, int8=True)
+        out = _pquant_call(
+            x.reshape(m, k), wq, w_scale.astype(jnp.float32), bias,
+            out_dtype=out_dtype, ln=ln, act=act, ln_eps=ln_eps,
+        )
+        return out.reshape(*x.shape[:-1], n)
 
     log_custom_flops(2.0 * m * k * n, int8=True)
     out = _qmm_call(
