@@ -119,3 +119,88 @@ def test_pick_blocks_asymmetric_rules():
     assert pick_blocks(6400, 64, 1, cv=192) is None
     # qk head dim not 32-aligned -> fall back
     assert pick_blocks(6400, 48, 1, cv=512) is None
+
+
+# ---------------------------------------------------------------------------
+# int8 handoff variant (qkv payload in, optional int8 + head scales out)
+# ---------------------------------------------------------------------------
+
+
+def _group_quantize_tokens(x, groups):
+    """(B, N, C) -> per-(row, C/groups-group) int8 payload + scales, the
+    quant_out emission format of ops/quant_matmul.py."""
+    b, n, c = x.shape
+    g = c // groups
+    x3 = np.asarray(x, np.float32).reshape(b, n, groups, g)
+    amax = np.maximum(np.abs(x3).max(axis=-1, keepdims=True), 1e-30)
+    payload = np.round(x3 * (127.0 / amax)).astype(np.int8).reshape(b, n, c)
+    scales = (amax[..., 0] / 127.0).astype(np.float32)
+    return jnp.asarray(payload), jnp.asarray(scales)
+
+
+@pytest.mark.parametrize("groups_per_c,quant_out", [(1, True), (2, True), (2, False)])
+def test_handoff_matches_reference(rng, groups_per_c, quant_out, monkeypatch):
+    """teb_attention_handoff == per-head fp32 oracle within int8 tolerance,
+    for per-row (G=1) and per-group scales, int8 and bf16 output."""
+    monkeypatch.setattr(a8, "INTERPRET", True)
+    b, n, heads, dh = 1, 128, 2, 128
+    c = heads * dh
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * c)), jnp.float32)
+    groups = 1 if groups_per_c == 1 else 3 * c // dh  # g = dh
+    payload, scales = _group_quantize_tokens(qkv, groups)
+    scale = 1.0 / dh**0.5
+    out = a8.teb_attention_handoff(
+        payload, scales, heads, scale, quant_out=quant_out,
+        out_dtype=jnp.float32,
+    )
+    assert out is not None
+    if quant_out:
+        o8, os_ = out
+        assert o8.dtype == jnp.int8 and os_.shape == (b, n, heads)
+        got = np.asarray(o8, np.float32).reshape(b, n, heads, dh) * np.asarray(
+            os_
+        )[..., None]
+        got = got.reshape(b, n, c)
+    else:
+        got = np.asarray(out, np.float32)
+    q, k, v = jnp.split(qkv.astype(jnp.bfloat16), 3, axis=-1)
+    ref = np.asarray(_per_head_reference(q, k, v, scale, heads))
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-2)
+    assert np.median(rel) < 0.05, np.median(rel)
+    assert rel.mean() < 0.12
+
+
+def test_handoff_rejects_misaligned_groups(rng, monkeypatch):
+    """Scale groups that split a head -> None (caller dequantizes)."""
+    monkeypatch.setattr(a8, "INTERPRET", True)
+    b, n, heads, dh = 1, 128, 2, 128
+    c = heads * dh
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * c)), jnp.float32)
+    payload, scales = _group_quantize_tokens(qkv, 3 * c // 64)  # g=64 < dh
+    out = a8.teb_attention_handoff(payload, scales, heads, 0.1)
+    assert out is None
+
+
+def test_teb_int8_attn_handoff_path_close_to_bf16(rng, monkeypatch):
+    """TransformerEncoderBlock with int8_dense+int8_attn routes through the
+    handoff (interpret mode) and stays close to the bf16 TEB."""
+    import transparent_object_detection_tpu.ops.quant_matmul as qmm_mod
+    from transparent_object_detection_tpu.models.blocks import (
+        TransformerEncoderBlock,
+    )
+
+    monkeypatch.setattr(a8, "INTERPRET", True)
+    monkeypatch.setattr(qmm_mod, "INTERPRET", True)
+    # default-off on v5e (net loss vs the split-qkv path, see blocks.py);
+    # force it on so the full handoff routing stays covered
+    monkeypatch.setenv("TOD_ATTN_HANDOFF", "1")
+    x = jnp.asarray(rng.normal(size=(1, 48, 48, 128)), jnp.float32)  # N=2304
+    teb8 = TransformerEncoderBlock(
+        num_heads=1, dtype=jnp.float32, int8_dense=True, int8_attn=True,
+    )
+    teb = TransformerEncoderBlock(num_heads=1, dtype=jnp.float32)
+    variables = teb.init(jax.random.key(0), x, train=False)
+    base = np.asarray(teb.apply(variables, x, train=False))
+    got = np.asarray(teb8.apply(variables, x, train=False))
+    rel = np.abs(got - base) / (np.abs(base) + 1e-1)
+    assert np.median(rel) < 0.05, np.median(rel)

@@ -255,3 +255,136 @@ def test_int8_teb_partitions_under_data_mesh(rng, _mesh_cleanup):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(base), rtol=1e-5, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 handoff (quant_out producer -> x_quant consumer)
+# ---------------------------------------------------------------------------
+
+
+def _group_quantize(x, groups):
+    """Per-(row, k-group) int8 quantization, the producer's emission format."""
+    m, k = x.shape
+    g = k // groups
+    x3 = np.asarray(x, np.float32).reshape(m, groups, g)
+    amax = np.maximum(np.abs(x3).max(axis=-1, keepdims=True), 1e-30)
+    payload = np.round(x3 * (127.0 / amax)).astype(np.int8).reshape(m, k)
+    scales = (amax[..., 0] / 127.0).astype(np.float32)
+    return jnp.asarray(payload), jnp.asarray(scales)
+
+
+def test_quant_out_matches_reference(data, monkeypatch):
+    """Interpreter-mode kernel with quant_out == the math twin's payload and
+    per-(row, tile) scales."""
+    monkeypatch.setattr(qmm_mod, "INTERPRET", True)
+    x, w, bias, gamma, beta, _ = data
+    payload, scales = quant_matmul(
+        x, w, bias=bias, ln_scale=gamma, ln_bias=beta, act="gelu",
+        quant_out=True,
+    )
+    assert payload.dtype == jnp.int8
+    group = w.shape[1] // scales.shape[-1]
+    wq, ws, bias_eff = _folded(w, bias, gamma, beta, ln=True)
+    ref_p, ref_s = _qmm_reference(
+        x, wq, ws, bias_eff, None, ln=True, act="gelu", residual=False,
+        ln_eps=1e-6, out_dtype=jnp.float32, quant_out_group=group,
+    )
+    # compare dequantized values (a borderline round may flip one LSB)
+    got = np.asarray(payload, np.float32) * np.repeat(np.asarray(scales), group, -1)
+    ref = np.asarray(ref_p, np.float32) * np.repeat(np.asarray(ref_s), group, -1)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("groups", [1, 2, 4])
+def test_x_quant_consumer_matches_reference(data, groups, monkeypatch):
+    """Interpreter-mode kernel consuming a pre-quantized payload (G=1 direct,
+    G>1 requant-onto-rowmax) == the math twin."""
+    monkeypatch.setattr(qmm_mod, "INTERPRET", True)
+    x, w, bias, *_ , res = data
+    payload, scales = _group_quantize(x, groups)
+    got = quant_matmul(
+        None, w, bias=bias, residual=res, out_dtype=jnp.float32,
+        x_quant=(payload, scales),
+    )
+    wq, ws = quantize_weights(w)
+    ref = _qmm_reference(
+        payload, wq, ws, bias, res, ln=False, act=None, residual=True,
+        ln_eps=1e-6, out_dtype=jnp.float32, x_scales=scales,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("groups", [1, 2])
+def test_m_inner_layout_matches(data, groups, monkeypatch):
+    """The M-innermost grid (weights stream once per outer step) computes
+    the same values as the reference, for both direct and requant modes."""
+    monkeypatch.setattr(qmm_mod, "INTERPRET", True)
+    x, w, bias, *_ = data
+    payload, scales = _group_quantize(x, groups)
+    wq, ws = quantize_weights(w)
+    got = qmm_mod._qmm_call(
+        payload, scales, wq, ws, bias, None,
+        out_dtype=jnp.float32, bm=128, bn=128, ln=False, act=None,
+        residual=False, ln_eps=1e-6, groups=groups, quant_out=False,
+        m_inner=True,
+    )
+    ref = _qmm_reference(
+        payload, wq, ws, bias, None, ln=False, act=None, residual=False,
+        ln_eps=1e-6, out_dtype=jnp.float32, x_scales=scales,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_handoff_chain_close_to_fp32(data):
+    """mlp1(quant_out) -> mlp2(x_quant) == the fp32 two-layer oracle to
+    within dynamic-int8 tolerance (the handoff must not add a noise class)."""
+    x, w, bias, gamma, beta, res = data
+    w2 = jnp.transpose(w)  # (n, k) second projection
+    z8 = quant_matmul(
+        x, w, bias=bias, ln_scale=gamma, ln_bias=beta, act="gelu",
+        quant_out=True,
+    )
+    got = quant_matmul(
+        None, w2, bias=None, residual=res, out_dtype=jnp.float32, x_quant=z8,
+    )
+    z = _dense_oracle(x, w, bias, gamma, beta, "gelu", None)
+    ref = z @ w2 + res
+    denom = np.abs(np.asarray(ref)) + 1e-1
+    rel = np.abs(np.asarray(got) - np.asarray(ref)) / denom
+    assert np.median(rel) < 0.03, np.median(rel)
+
+
+def test_pick_layout_prequant_kills_weight_streaming():
+    """The production mlp2 shapes: h2 fits weight-resident N-inner tiles;
+    the wide-K h1 shape (16.8 MB int8 weights) flips to M-inner so the
+    weights stream once per outer step instead of once per m-tile."""
+    m_in, bm, bn = qmm_mod._pick_layout_prequant(204800, 6144, 1536, 8, True)
+    assert (m_in, bn) == (False, 1536)  # weight-resident
+    m_in2, bm2, bn2 = qmm_mod._pick_layout_prequant(51200, 8192, 2048, 16, True)
+    assert m_in2 is True
+
+
+def test_handoff_chain_partitions_under_data_mesh(rng, _mesh_cleanup):
+    """quant_out producer -> x_quant consumer under a data mesh: both ends
+    shard_map over the batch axis (two outputs on the producer) and match
+    the no-mesh result."""
+    from transparent_object_detection_tpu.ops.shard import set_compute_mesh
+    from transparent_object_detection_tpu.parallel import batch_sharding, make_mesh
+
+    x = jnp.asarray(rng.normal(size=(8, 64, 256)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(256, 512)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(512, 256)) * 0.05, jnp.float32)
+
+    def chain(xx):
+        z8 = quant_matmul(xx, w1, act="gelu", quant_out=True)
+        return quant_matmul(None, w2, residual=xx, out_dtype=jnp.float32,
+                            x_quant=z8)
+
+    base = chain(x)
+    mesh = make_mesh()
+    set_compute_mesh(mesh)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got = chain(xs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base), rtol=1e-5, atol=1e-5
+    )

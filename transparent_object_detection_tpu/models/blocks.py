@@ -539,7 +539,10 @@ class TransformerEncoderBlock(nn.Module):
             # [bias/gelu/residual] (ops/quant_matmul.py). Parameter tree is
             # identical to the bf16 branch below (param-twin modules), so
             # bf16-trained checkpoints deploy unchanged.
-            from transparent_object_detection_tpu.ops.quant_matmul import quant_matmul
+            from transparent_object_detection_tpu.ops.quant_matmul import (
+                dequantize,
+                quant_matmul,
+            )
 
             ln1_s, ln1_b = _LNParams(c, name="norm1")()
             ln2_s, ln2_b = _LNParams(c, name="norm2")()
@@ -548,24 +551,73 @@ class TransformerEncoderBlock(nn.Module):
             m1_w, m1_b = _DenseParams(c * self.mlp_ratio, name="mlp1")(c)
             m2_w, m2_b = _DenseParams(c, name="mlp2")(c * self.mlp_ratio)
 
-            qkv = quant_matmul(
-                tokens, qkv_w, bias=qkv_b, ln_scale=ln1_s, ln_bias=ln1_b,
-                out_dtype=self.dtype,
-            )
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            o = attention(
-                q, k, v, scale=scale, impl=self.attention_impl,
-                num_heads=heads, int8=int8_attn,
-            )
-            tokens = quant_matmul(
-                o, ao_w, bias=ao_b, residual=tokens, out_dtype=self.dtype
-            )
-            z = quant_matmul(
+            # Full int8 handoff through the attention sub-block: the qkv
+            # projection emits int8 payload + scales, attention consumes
+            # them (q zero-copy via a column-offset index map, k/v cheaply
+            # REquantized int8->int8 onto per-block scalars) and emits int8
+            # + per-(row, head) scales for attn_out's x_quant path — the
+            # (B, N, 3C) bf16 qkv and (B, N, C) bf16 o intermediates never
+            # round-trip HBM (ops/attention_int8.teb_attention_handoff).
+            # Default OFF — measured a NET LOSS on v5e (batch-32 phi='s'
+            # serving 135.4/135.5 vs 140.9/141.0 imgs/s, 2x2 A/B): the k/v
+            # requantize runs as separate XLA passes (extra HBM round trips
+            # over (B, N, C) x2) and the quant_out qkv forgoes the split
+            # pquant path's 237-TOPS XLA dot, which together cost more than
+            # the saved qkv/o round trips. The mlp1->mlp2 handoff below has
+            # no such side passes and measured +2.3 imgs/s; it stays on.
+            handoff = None
+            if (
+                int8_attn
+                and n > 1024
+                and self.attention_impl in (None, "pallas")
+                and os.environ.get("TOD_ATTN_HANDOFF", "0") == "1"
+            ):
+                from transparent_object_detection_tpu.ops.attention_int8 import (
+                    teb_attention_handoff,
+                )
+
+                qkv8 = quant_matmul(
+                    tokens, qkv_w, bias=qkv_b, ln_scale=ln1_s, ln_bias=ln1_b,
+                    out_dtype=self.dtype, quant_out=True,
+                    quant_out_align=(c, dh),
+                )
+                handoff = teb_attention_handoff(
+                    qkv8[0], qkv8[1], heads, scale, quant_out=True,
+                    out_dtype=self.dtype,
+                )
+                if handoff is None:
+                    qkv = dequantize(qkv8[0], qkv8[1], self.dtype)
+            else:
+                qkv = quant_matmul(
+                    tokens, qkv_w, bias=qkv_b, ln_scale=ln1_s, ln_bias=ln1_b,
+                    out_dtype=self.dtype,
+                )
+            if handoff is not None:
+                tokens = quant_matmul(
+                    None, ao_w, bias=ao_b, residual=tokens,
+                    out_dtype=self.dtype, x_quant=handoff,
+                )
+            else:
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                o = attention(
+                    q, k, v, scale=scale, impl=self.attention_impl,
+                    num_heads=heads, int8=int8_attn,
+                )
+                tokens = quant_matmul(
+                    o, ao_w, bias=ao_b, residual=tokens, out_dtype=self.dtype
+                )
+            # int8 handoff: mlp1 emits int8 payload + per-(row, group)
+            # scales and mlp2 consumes them directly — the (tokens, 4c)
+            # gelu intermediate (the largest tensor in the block) never
+            # round-trips HBM in bf16, and mlp2's quantize prologue
+            # becomes a cheap int8 rescale (ops/quant_matmul.py).
+            z8 = quant_matmul(
                 tokens, m1_w, bias=m1_b, ln_scale=ln2_s, ln_bias=ln2_b,
-                act="gelu", out_dtype=self.dtype,
+                act="gelu", out_dtype=self.dtype, quant_out=True,
             )
             tokens = quant_matmul(
-                z, m2_w, bias=m2_b, residual=tokens, out_dtype=self.dtype
+                None, m2_w, bias=m2_b, residual=tokens, out_dtype=self.dtype,
+                x_quant=z8,
             )
             return tokens.reshape(b, h, w, c)
 

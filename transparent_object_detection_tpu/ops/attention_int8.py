@@ -239,3 +239,255 @@ def attention_int8(
     if blocks is None:
         return None
     return flash_attention_mha_int8(q, k, v, num_heads, scale, *blocks)
+
+
+# ---------------------------------------------------------------------------
+# int8 handoff variant: consumes the qkv projection's int8 payload directly
+# (ops/quant_matmul.py quant_out=True) and optionally emits its output as
+# int8 + per-(row, head) scales for the attn_out projection's x_quant path.
+# The (B, N, 3C) bf16 qkv intermediate then never exists in HBM: q is read
+# as int8 with ZERO copies (a column-offset index map into the fused
+# payload), k/v are REquantized int8->int8 onto per-(batch, head, kv-block)
+# scalars (half the traffic of the bf16->int8 quantize pass it replaces),
+# and the q-tile quantize pass disappears from the kernel prologue.
+# ---------------------------------------------------------------------------
+
+
+def _mha_flash_int8_handoff_kernel(
+    qq_ref, qs_ref, kq_ref, ks_ref, vq_ref, vs_ref, *out_refs,
+    scale: float, quant_out: bool,
+):
+    """(batch, q-block, head, kv-block) grid step; kv innermost/sequential.
+
+    vs the base kernel (_mha_flash_int8_kernel): q arrives int8 with a
+    per-(row, head) scale TABLE qs (1, bq, H) f32 — the head's column is
+    one-hot selected at ki == 0 (a dynamic lane slice can't be proven
+    aligned) — and the head axis sits INSIDE the q axis so the optional
+    int8 output-scales block (1, bq, H), revisited across heads, stays in
+    VMEM until all heads have written their column.
+    """
+    o_ref = out_refs[0]
+    os_ref = out_refs[1] if quant_out else None
+    qsel_scr, m_scr, l_scr, acc_scr = out_refs[2 if quant_out else 1:]
+
+    hi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        qs_blk = qs_ref[0]  # (bq, H)
+        col = jax.lax.broadcasted_iota(jnp.int32, qs_blk.shape, 1)
+        qsel_scr[:, 0:1] = jnp.sum(
+            jnp.where(col == hi, qs_blk, 0.0), axis=1, keepdims=True
+        )
+
+    s32 = jax.lax.dot_general(
+        qq_ref[0], kq_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (bq, bk) int8 MXU
+    row_scale = qsel_scr[:, 0:1] * (ks_ref[0, hi, ki] * scale)  # (bq, 1)
+    s = s32.astype(jnp.float32) * row_scale
+
+    m_prev = m_scr[:, 0:1]
+    l_prev = l_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p127 = jnp.exp(s - (m_new - 4.8441870864585885))  # ln(127)
+    correction = jnp.exp(m_prev - m_new)
+    l_scr[:, 0:1] = l_prev * correction + jnp.sum(p127, axis=-1, keepdims=True)
+    pq = jnp.round(p127).astype(jnp.int8)
+    pv32 = jax.lax.dot_general(
+        pq, vq_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_scr[:] = acc_scr[:] * correction + pv32.astype(jnp.float32) * vs_ref[0, hi, ki]
+    m_scr[:, 0:1] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o = acc_scr[:] * (1.0 / l_scr[:, 0:1])  # (bq, dv) f32
+        if quant_out:
+            amax = jnp.maximum(
+                jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-30
+            )
+            o_ref[0] = jnp.round(o * (127.0 / amax)).astype(jnp.int8)
+            colh = jax.lax.broadcasted_iota(jnp.int32, os_ref.shape[1:], 1)
+            os_ref[0] = jnp.where(colh == hi, amax * (1.0 / 127.0), os_ref[0])
+        else:
+            o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "scale", "block_q", "block_k", "quant_out", "out_dtype",
+    ),
+)
+def flash_attention_int8_handoff(
+    qkv_payload: Array,  # (B, N, >=Cq) int8; q = leading Cq columns
+    qs: Array,           # (B, N, H) f32 per-(row, head) q scales
+    kq: Array,           # (B, N, Cq) int8, requantized per kv-block
+    ks: Array,           # (B, H, nk) f32
+    vq: Array,           # (B, N, Cv) int8
+    vs: Array,           # (B, H, nk) f32
+    num_heads: int,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    quant_out: bool,
+    out_dtype=jnp.bfloat16,
+):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, cv = vq.shape
+    cq = kq.shape[2]
+    dq = cq // num_heads
+    dv = cv // num_heads
+    h = num_heads
+    grid = (b, n // block_q, h, n // block_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, dq), lambda bi, qi, hi, ki: (bi, qi, hi)),
+        pl.BlockSpec((1, block_q, h), lambda bi, qi, hi, ki: (bi, qi, 0)),
+        pl.BlockSpec((1, block_k, dq), lambda bi, qi, hi, ki: (bi, ki, hi)),
+        pl.BlockSpec(
+            (1, h, n // block_k), lambda bi, qi, hi, ki: (bi, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec((1, block_k, dv), lambda bi, qi, hi, ki: (bi, ki, hi)),
+        pl.BlockSpec(
+            (1, h, n // block_k), lambda bi, qi, hi, ki: (bi, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    if quant_out:
+        out_specs = [
+            pl.BlockSpec((1, block_q, dv), lambda bi, qi, hi, ki: (bi, qi, hi)),
+            pl.BlockSpec((1, block_q, h), lambda bi, qi, hi, ki: (bi, qi, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, n, cv), jnp.int8),
+            jax.ShapeDtypeStruct((b, n, h), jnp.float32),
+        ]
+    else:
+        out_specs = pl.BlockSpec(
+            (1, block_q, dv), lambda bi, qi, hi, ki: (bi, qi, hi)
+        )
+        out_shape = jax.ShapeDtypeStruct((b, n, cv), out_dtype)
+    return pl.pallas_call(
+        functools.partial(
+            _mha_flash_int8_handoff_kernel, scale=scale, quant_out=quant_out,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # selected q scale
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # normalizer
+            pltpu.VMEM((block_q, dv), jnp.float32),   # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(qkv_payload, qs, kq, ks, vq, vs)
+
+
+def _requantize_section(
+    payload: Array, scales: Array, col0: int, c: int, num_heads: int,
+    block_k: int,
+) -> Tuple[Array, Array]:
+    """Requantize one int8 qkv section onto per-(batch, head, kv-block)
+    scalar scales (the kernel's k/v format).
+
+    payload (B, N, Ctot) int8 with per-(row, g-group) scales (B, N, G),
+    g = Ctot/G; section = columns [col0, col0+c). Requires g % (c/H) == 0
+    or G == 1 (checked by the caller) so each head's columns share one
+    row-scale. ratio = row_scale / block_scale <= 1, so the re-round stays
+    int8-exact in range; the added rounding is the same 0.4%-of-blockmax
+    class as the bf16->int8 quantize pass this replaces (at HALF the HBM
+    traffic: int8 in, int8 out)."""
+    b, n, ctot = payload.shape
+    g = ctot // scales.shape[-1]
+    dh = c // num_heads
+    nk = n // block_k
+    sec = jax.lax.slice_in_dim(payload, col0, col0 + c, axis=2)
+    # per-(row, head) scale of the section: the covering group's scale
+    if scales.shape[-1] == 1:
+        s_head = jnp.broadcast_to(scales, (b, n, num_heads))
+    else:
+        idx = [(col0 + hh * dh) // g for hh in range(num_heads)]
+        s_head = jnp.take(scales, jnp.asarray(idx), axis=-1)  # (B, N, H)
+    s_blk = jnp.max(
+        s_head.reshape(b, nk, block_k, num_heads), axis=2
+    )  # (B, nk, H)
+    ratio = s_head.reshape(b, nk, block_k, num_heads) / jnp.maximum(
+        s_blk[:, :, None, :], 1e-30
+    )
+    xq = jnp.round(
+        sec.reshape(b, nk, block_k, num_heads, dh).astype(jnp.float32)
+        * ratio[..., None]
+    ).astype(jnp.int8)
+    return xq.reshape(b, n, c), s_blk.transpose(0, 2, 1)  # (B, H, nk)
+
+
+def teb_attention_handoff(
+    payload: Array,      # (B, N, 3C) int8 fused-qkv payload
+    scales: Array,       # (B, N, G) f32 per-(row, group) scales
+    num_heads: int,
+    scale: float,
+    quant_out: bool = True,
+    out_dtype=jnp.bfloat16,
+):
+    """Attention over a quant_out qkv projection, staying int8 end-to-end.
+
+    Returns (o_payload int8, o_scales (B, N, H)) when quant_out (feed to
+    quant_matmul(x_quant=...)), or a bf16 (B, N, C) array otherwise.
+    Returns None when the handoff doesn't apply (shapes don't tile, scale
+    groups don't align to heads, non-TPU backend) — the caller falls back
+    to the dequantized bf16 path.
+    """
+    b, n, c3 = payload.shape
+    c = c3 // 3
+    h = num_heads
+    if c % h:
+        return None
+    dh = c // h
+    g = c3 // scales.shape[-1]
+    ok_backend = jax.default_backend() in ("tpu", "axon") or INTERPRET
+    aligned = scales.shape[-1] == 1 or (
+        c % g == 0 and g % dh == 0
+    )
+    blocks = pick_blocks(n, c, h, cv=c)
+    if not (ok_backend and aligned and blocks is not None):
+        return None
+    bq, bk = blocks
+
+    if scales.shape[-1] == 1:
+        qs = jnp.broadcast_to(scales, (b, n, h)).astype(jnp.float32)
+    else:
+        idx = jnp.asarray([(hh * dh) // g for hh in range(h)])
+        qs = jnp.take(scales, idx, axis=-1).astype(jnp.float32)
+    kq, ks = _requantize_section(payload, scales, c, c, h, bk)
+    vq, vs = _requantize_section(payload, scales, 2 * c, c, h, bk)
+
+    from transparent_object_detection_tpu.ops.attention import (
+        _log_flash_launch,
+    )
+    from transparent_object_detection_tpu.ops.shard import maybe_shard_map
+
+    _log_flash_launch(b, n, c, c, int8=True)
+
+    def local(payload_l, qs_l, kq_l, ks_l, vq_l, vs_l):
+        return flash_attention_int8_handoff(
+            payload_l, qs_l, kq_l, ks_l, vq_l, vs_l,
+            num_heads=h, scale=scale, block_q=bq, block_k=bk,
+            quant_out=quant_out, out_dtype=out_dtype,
+        )
+
+    launch = maybe_shard_map(local, n_out=2 if quant_out else 1)
+    return launch(payload, qs, kq, ks, vq, vs)

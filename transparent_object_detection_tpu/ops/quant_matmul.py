@@ -79,27 +79,65 @@ def _fold_ln(
 
 def _qmm_kernel(
     *refs, ln: bool, has_bias: bool, act: Optional[str], residual: bool,
-    ln_eps: float,
+    ln_eps: float, groups: int = 0, quant_out: bool = False,
+    m_inner: bool = False,
 ):
-    """One (m-tile, n-tile) grid step; N is the inner (sequential) axis.
+    """One (m-tile, n-tile) grid step.
 
-    Ref order: x, w, w_scale, [bias], [residual], out, xq_scratch,
-    xs_scratch.
+    Grid order: (M/bm, N/bn) with N the inner sequential axis by default;
+    `m_inner` flips to (N/bn, M/bm) — the weight block is then read once per
+    OUTER step (k*n bytes total) instead of once per m-tile, which is what
+    the wide-K mlp2 shapes need (their int8 weights exceed VMEM, and the
+    N-inner layout re-streams them (m/bm)*k*n bytes per call — several GB).
+
+    `groups` selects the input mode:
+      0   bf16 x: fused [LN ->] dynamic per-row int8 quantize prologue.
+      1   pre-quantized int8 x with per-row scales (x_quant handoff from a
+          quant_out producer whose tile was full-width): dot directly, no
+          prologue, no scratch.
+      >1  pre-quantized int8 x with per-(row, k-group) scales: the prologue
+          rescales each group onto the row-max scale and re-rounds (one
+          extra <=0.4%-of-rowmax rounding — the bf16 path's per-row
+          quantize rounds at the same magnitude, so the handoff adds no
+          drift class) so the dot keeps a single per-row dequant scale.
+
+    `quant_out` swaps the bf16 store for int8 payload + per-(row, n-tile)
+    scale stores — the consumer reads half the bytes and skips its
+    quantize prologue (see quant_matmul docstring).
+
+    Ref order: x, [x_scales], w, w_scale, [bias], [residual], out,
+    [out_scales], [xq_scratch, xs_scratch].
     """
     it = iter(refs)
     x_ref = next(it)
+    pxs_ref = next(it) if groups >= 1 else None
     w_ref = next(it)
     ws_ref = next(it)
     b_ref = next(it) if has_bias else None
     r_ref = next(it) if residual else None
     o_ref = next(it)
-    xq_scr = next(it)
-    xs_scr = next(it)
+    os_ref = next(it) if quant_out else None
+    direct = groups == 1  # int8 x used as-is, no scratch allocated
+    xq_scr = next(it) if not direct else None
+    xs_scr = next(it) if not direct else None
 
-    ni = pl.program_id(1)
+    inner_i = pl.program_id(1)
 
-    @pl.when(ni == 0)
-    def _prologue():
+    def _requant_prologue():
+        # Requantize the per-(row, group) payload onto the row-max
+        # scale so the dot dequantizes with one rank-1 multiply.
+        s = pxs_ref[...]  # (bm, G)
+        smax = jnp.maximum(jnp.max(s, axis=1, keepdims=True), 1e-30)
+        xs_scr[:, 0:1] = smax
+        g = x_ref.shape[1] // groups
+        for gi in range(groups):
+            sl = pl.ds(gi * g, g)
+            ratio = s[:, gi : gi + 1] / smax  # (bm, 1) <= 1
+            xq_scr[:, sl] = jnp.round(
+                x_ref[:, sl].astype(jnp.float32) * ratio
+            ).astype(jnp.int8)
+
+    def _bf16_prologue():
         # Chunked over row slabs: the f32 intermediates then occupy
         # (chunk, K) instead of (bm, K) of VMEM spill, which is what lets
         # _pick_blocks choose bm=1024 (fewer per-m-tile serializations —
@@ -131,13 +169,23 @@ def _qmm_kernel(
 
         jax.lax.fori_loop(0, bm // chunk, slab, 0, unroll=False)
 
+    if not direct:
+        body = _requant_prologue if groups > 1 else _bf16_prologue
+        if m_inner:
+            # every inner step is a fresh m-tile — prologue runs each step
+            body()
+        else:
+            pl.when(inner_i == 0)(body)
+
+    xq = x_ref[...] if direct else xq_scr[...]
     acc = jax.lax.dot_general(
-        xq_scr[...],
+        xq,
         w_ref[...],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # (bm, bn) int32 on the MXU at the int8 rate
-    out = acc.astype(jnp.float32) * xs_scr[:, 0:1] * ws_ref[0:1, :]
+    row_scale = pxs_ref[:, 0:1] if direct else xs_scr[:, 0:1]
+    out = acc.astype(jnp.float32) * row_scale * ws_ref[0:1, :]
     if has_bias:
         out = out + b_ref[0:1, :]
     if act == "gelu":
@@ -146,11 +194,30 @@ def _qmm_kernel(
         out = out * jax.nn.sigmoid(out)
     if residual:
         out = out + r_ref[...].astype(jnp.float32)
-    o_ref[...] = out.astype(o_ref.dtype)
+    if quant_out:
+        amax = jnp.maximum(
+            jnp.max(jnp.abs(out), axis=1, keepdims=True), 1e-30
+        )
+        # the scales block spans the full (narrow) scales array width and is
+        # revisited across n-steps; a dynamic column store can't be proven
+        # lane-aligned, so each step one-hot-selects its column into the
+        # block (G <= 16 lanes — one cheap VPU select per tile)
+        sval = amax * (1.0 / 127.0)
+        if os_ref.shape[1] == 1:
+            os_ref[...] = sval
+        else:
+            n_idx = pl.program_id(0) if m_inner else pl.program_id(1)
+            col = jax.lax.broadcasted_iota(jnp.int32, os_ref.shape, 1)
+            os_ref[...] = jnp.where(col == n_idx, sval, os_ref[...])
+        o_ref[...] = jnp.round(out * (127.0 / amax)).astype(jnp.int8)
+    else:
+        o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _pick_blocks(
-    m: int, k: int, n: int, residual: bool = True
+    m: int, k: int, n: int, residual: bool = True,
+    x_bytes: int = 2, out_bytes: int = 2,
+    align: Optional[Tuple[int, int]] = None,
 ) -> Optional[Tuple[int, int]]:
     """(bm, bn) fitting VMEM, MXU-aligned and dividing (m, n).
 
@@ -171,11 +238,11 @@ def _pick_blocks(
         # k=1536) vs the 16M limit.
         resident = bn == n  # constant block index -> single-buffered W
         return (
-            2 * bm * k * 2       # x bf16, double-buffered
+            2 * bm * k * x_bytes  # x, double-buffered
             + bm * k             # xq int8 scratch
             + chunk * k * 4      # fp32 prologue temp (row-chunked)
             + (1 if resident else 2) * k * bn  # w int8
-            + 2 * bm * bn * 2    # out bf16, double-buffered
+            + 2 * bm * bn * out_bytes  # out, double-buffered
             + (2 * bm * bn * 2 if residual else 0)  # residual bf16
             + bm * bn * 4        # int32 accumulator
         )
@@ -187,8 +254,23 @@ def _pick_blocks(
     # narrow-N shapes (the 1x1 reduce convs: only ~1 us of dot per
     # 256-row tile vs several us of prologue). bm=256 measured 138 -> 170
     # TOPS on the square attn_out; bm=128 (the only fit for the 4608-wide
-    # qkv) measured a wash vs streaming, so 128 is excluded here.
-    for bm in (1024, 512, 256):
+    # qkv at bf16 width) measured a wash vs streaming THERE, but with int8
+    # x/out (the handoff paths) the smaller buffers make residency the
+    # clear win — W streaming dominates those shapes' traffic — so 128 is
+    # allowed whenever either side is int8.
+    def bn_ok(bn: int) -> bool:
+        # quant_out scale-group alignment for downstream sectioned
+        # consumers (the fused qkv -> attention handoff): a full-width
+        # tile gives per-row scales (always fine); otherwise the group
+        # must tile the section and cover whole heads.
+        if align is None or bn == n:
+            return True
+        section, dh = align
+        return section % bn == 0 and bn % dh == 0
+
+    resident_bms = (1024, 512, 256) if x_bytes == 2 and out_bytes == 2 else (
+        1024, 512, 256, 128)
+    for bm in resident_bms:
         if m % bm == 0 and vmem(bm, n) <= budget:
             return bm, n
     # Measured on v5e (204800-row TEB shapes): narrow projections with few
@@ -202,16 +284,76 @@ def _pick_blocks(
             if m % bm:
                 continue
             for bn in (768, 512, 256):
-                if n % bn == 0 and vmem(bm, bn) <= budget:
+                if n % bn == 0 and bn_ok(bn) and vmem(bm, bn) <= budget:
                     return bm, bn
     else:
         for bn in (768, 512, 256):
-            if n % bn:
+            if n % bn or not bn_ok(bn):
                 continue
             for bm in (512, 256, 128):
                 if m % bm == 0 and vmem(bm, bn) <= budget:
                     return bm, bn
     return None
+
+
+def _pick_layout_prequant(
+    m: int, k: int, n: int, groups: int, residual: bool,
+) -> Optional[Tuple[bool, int, int]]:
+    """(m_inner, bm, bn) for a pre-quantized-x consumer, minimizing modeled
+    HBM traffic subject to VMEM.
+
+    The decision that matters is WEIGHT STREAMING: with N innermost the
+    weight block re-reads k*n bytes per m-tile — for the wide-K mlp2
+    shapes that is (m/bm) * 16.8 MB = several GB per call, the real reason
+    those shapes plateaued near 200 TOPS. Options modeled:
+
+      * N-inner, bn == n (weight-resident): W read once; best when it fits.
+      * N-inner streaming: W re-read per m-tile.
+      * M-inner (grid (N/bn, M/bm)): W read once per outer step (k*n total),
+        x re-read (n/bn) times — cheap now that x is int8 — and the requant
+        prologue re-runs per step (VPU, overlappable).
+    """
+    g = k // groups
+
+    def vmem(bm: int, bn: int, m_in: bool) -> int:
+        resident = (not m_in) and bn == n
+        scratch = 0 if groups == 1 else bm * k + bm * 128 * 4
+        temp = 0 if groups == 1 else bm * g * 4
+        return (
+            2 * bm * k           # x int8, double-buffered
+            + scratch            # xq int8 + row-scale scratch
+            + temp               # f32 requant temp (one group slice)
+            + (1 if resident else 2) * k * bn  # w int8
+            + 2 * bm * bn * 2    # out bf16, double-buffered
+            + (2 * bm * bn * 2 if residual else 0)
+            + bm * bn * 4        # int32 accumulator
+        )
+
+    budget = 15 * 1024 * 1024 + 512 * 1024
+    best = None  # (traffic, m_inner, bm, bn)
+    for bm in (1024, 512, 256, 128):
+        if m % bm:
+            continue
+        for bn in dict.fromkeys((n, 768, 512, 256)):
+            if n % bn:
+                continue
+            for m_in in (False, True):
+                if m_in and bn == n:
+                    continue  # identical to N-inner resident
+                if vmem(bm, bn, m_in) > budget:
+                    continue
+                if m_in:
+                    traffic = (n // bn) * m * k + k * n
+                else:
+                    w_bytes = k * n if bn == n else (m // bm) * k * n
+                    traffic = m * k + w_bytes
+                # secondary preference: taller tiles (fewer prologue runs)
+                key = (traffic, -bm)
+                if best is None or key < best[0]:
+                    best = (key, m_in, bm, bn)
+    if best is None:
+        return None
+    return best[1], best[2], best[3]
 
 
 def _quant_rows_kernel(x_ref, xq_ref, xs_ref, *, ln: bool, ln_eps: float):
@@ -294,45 +436,93 @@ def _pquant_call(x2d, wq, w_scale, bias, *, out_dtype, ln, act, ln_eps):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_dtype", "bm", "bn", "ln", "act", "residual", "ln_eps"),
+    static_argnames=(
+        "out_dtype", "bm", "bn", "ln", "act", "residual", "ln_eps",
+        "groups", "quant_out", "m_inner",
+    ),
 )
 def _qmm_call(
-    x2d, wq, w_scale, bias, res2d, *,
+    x2d, xs2d, wq, w_scale, bias, res2d, *,
     out_dtype, bm, bn, ln, act, residual, ln_eps,
+    groups=0, quant_out=False, m_inner=False,
 ):
     m, k = x2d.shape
     n = wq.shape[1]
     from jax.experimental.pallas import tpu as pltpu
 
+    # index maps: grid is (M/bm, N/bn) by default, (N/bn, M/bm) when
+    # m_inner (weights then stream once per OUTER step — see
+    # _pick_layout_prequant)
+    if m_inner:
+        at_m, at_n, at_mn = (
+            lambda ni, mi: (mi, 0),
+            lambda ni, mi: (0, ni),
+            lambda ni, mi: (mi, ni),
+        )
+        grid = (n // bn, m // bm)
+        semantics = ("arbitrary", "arbitrary")
+    else:
+        at_m, at_n, at_mn = (
+            lambda mi, ni: (mi, 0),
+            lambda mi, ni: (0, ni),
+            lambda mi, ni: (mi, ni),
+        )
+        grid = (m // bm, n // bn)
+        semantics = ("parallel", "arbitrary")
+
     has_bias = bias is not None
-    operands = [x2d, wq, w_scale.astype(jnp.float32)]
-    in_specs = [
-        pl.BlockSpec((bm, k), lambda mi, ni: (mi, 0)),
-        pl.BlockSpec((k, bn), lambda mi, ni: (0, ni)),
-        pl.BlockSpec((1, bn), lambda mi, ni: (0, ni)),
+    operands = [x2d]
+    in_specs = [pl.BlockSpec((bm, k), at_m)]
+    if groups >= 1:
+        operands.append(xs2d)
+        in_specs.append(pl.BlockSpec((bm, groups), at_m))
+    operands += [wq, w_scale.astype(jnp.float32)]
+    in_specs += [
+        pl.BlockSpec((k, bn), at_n),
+        pl.BlockSpec((1, bn), at_n),
     ]
     if has_bias:
         operands.append(bias.reshape(1, n).astype(jnp.float32))
-        in_specs.append(pl.BlockSpec((1, bn), lambda mi, ni: (0, ni)))
+        in_specs.append(pl.BlockSpec((1, bn), at_n))
     if residual:
         operands.append(res2d)
-        in_specs.append(pl.BlockSpec((bm, bn), lambda mi, ni: (mi, ni)))
+        in_specs.append(pl.BlockSpec((bm, bn), at_mn))
+
+    if quant_out:
+        out_specs = [
+            pl.BlockSpec((bm, bn), at_mn),
+            pl.BlockSpec((bm, n // bn), at_m),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((m, n), jnp.int8),
+            jax.ShapeDtypeStruct((m, n // bn), jnp.float32),
+        ]
+    else:
+        out_specs = pl.BlockSpec((bm, bn), at_mn)
+        out_shape = jax.ShapeDtypeStruct((m, n), out_dtype)
+
+    scratch_shapes = (
+        []
+        if groups == 1
+        else [
+            pltpu.VMEM((bm, k), jnp.int8),
+            pltpu.VMEM((bm, 128), jnp.float32),
+        ]
+    )
 
     return pl.pallas_call(
         functools.partial(
             _qmm_kernel, ln=ln, has_bias=has_bias, act=act, residual=residual,
-            ln_eps=ln_eps,
+            ln_eps=ln_eps, groups=groups, quant_out=quant_out,
+            m_inner=m_inner,
         ),
-        grid=(m // bm, n // bn),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda mi, ni: (mi, ni)),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bm, k), jnp.int8),
-            pltpu.VMEM((bm, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=semantics,
         ),
         # NOTE: no pl.CostEstimate here — declared costs show up in XLA's
         # cost_analysis() and would double-count with the trace-time FLOP log
@@ -342,24 +532,55 @@ def _qmm_call(
     )(*operands)
 
 
+def dequantize(payload: Array, scales: Array, dtype=jnp.bfloat16) -> Array:
+    """(..., N) int8 + (..., G) f32 -> (..., N) value array (handoff escape
+    hatch for consumers that can't ingest x_quant directly)."""
+    n = payload.shape[-1]
+    g = n // scales.shape[-1]
+    p3 = payload.reshape(*payload.shape[:-1], scales.shape[-1], g)
+    return (
+        p3.astype(jnp.float32) * scales[..., None]
+    ).reshape(payload.shape).astype(dtype)
+
+
 def _qmm_reference(x, wq, w_scale, bias, res, *,
-                   ln, act, residual, ln_eps, out_dtype):
+                   ln, act, residual, ln_eps, out_dtype,
+                   x_scales=None, quant_out_group=None):
     """Pure-JAX twin of the kernel math (CPU fallback + oracle for tests).
 
     Takes the already-folded weights (wq/w_scale/bias from _fold_ln +
-    quantize_weights) and mirrors the kernel's normalize-only LN."""
-    xf = x.astype(jnp.float32)
-    if ln:
-        mu = jnp.mean(xf, axis=-1, keepdims=True)
-        m2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        d = xf - mu
-        rstd = jax.lax.rsqrt(jnp.maximum(m2 - mu * mu, 0.0) + ln_eps)
+    quantize_weights) and mirrors the kernel's normalize-only LN. With
+    `x_scales` (the int8-handoff consumer), x is an int8 payload with
+    per-(row, k-group) scales and the twin mirrors the kernel's
+    requantize-onto-rowmax prologue. With `quant_out_group`, returns
+    (int8 payload, per-(row, n-group) f32 scales) instead of the value."""
+    if x_scales is not None:
+        groups = x_scales.shape[-1]
+        if groups == 1:
+            xq = x
+            s = x_scales
+        else:
+            g = x.shape[-1] // groups
+            smax = jnp.maximum(
+                jnp.max(x_scales, axis=-1, keepdims=True), 1e-30
+            )
+            ratio = (x_scales / smax)[..., :, None]  # (..., G, 1)
+            x3 = x.reshape(*x.shape[:-1], groups, g).astype(jnp.float32)
+            xq = jnp.round(x3 * ratio).reshape(x.shape).astype(jnp.int8)
+            s = smax
     else:
-        d = xf
-        rstd = 1.0
-    amax = jnp.maximum(jnp.max(jnp.abs(d), axis=-1, keepdims=True), 1e-12)
-    xq = jnp.round(d * (127.0 / amax)).astype(jnp.int8)
-    s = amax * (1.0 / 127.0) * rstd
+        xf = x.astype(jnp.float32)
+        if ln:
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            m2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            d = xf - mu
+            rstd = jax.lax.rsqrt(jnp.maximum(m2 - mu * mu, 0.0) + ln_eps)
+        else:
+            d = xf
+            rstd = 1.0
+        amax = jnp.maximum(jnp.max(jnp.abs(d), axis=-1, keepdims=True), 1e-12)
+        xq = jnp.round(d * (127.0 / amax)).astype(jnp.int8)
+        s = amax * (1.0 / 127.0) * rstd
     acc = jax.lax.dot_general(
         xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -373,34 +594,66 @@ def _qmm_reference(x, wq, w_scale, bias, res, *,
         out = out * jax.nn.sigmoid(out)
     if residual:
         out = out + res.astype(jnp.float32)
+    if quant_out_group is not None:
+        go = quant_out_group
+        n = out.shape[-1]
+        o3 = out.reshape(*out.shape[:-1], n // go, go)
+        amax_o = jnp.maximum(
+            jnp.max(jnp.abs(o3), axis=-1, keepdims=True), 1e-30
+        )
+        payload = jnp.round(o3 * (127.0 / amax_o)).astype(jnp.int8)
+        return (
+            payload.reshape(*out.shape[:-1], n),
+            (amax_o[..., 0] * (1.0 / 127.0)).astype(jnp.float32),
+        )
     return out.astype(out_dtype)
 
 
-def _qmm_dispatch(x, wq, w_scale, bias, residual, *, ln, act, ln_eps, out_dtype):
+def _qmm_dispatch(x, wq, w_scale, bias, residual, *, ln, act, ln_eps,
+                  out_dtype, x_scales=None, quant_out=False,
+                  quant_out_align=None):
     """Pallas-or-fallback on whatever shapes it receives (global, or the
     per-shard local shapes inside shard_map)."""
     k, n = wq.shape
     m = 1
     for d in x.shape[:-1]:
         m *= d
+    groups = 0 if x_scales is None else x_scales.shape[-1]
     use_pallas = (
-        jax.default_backend() in ("tpu", "axon") or INTERPRET
-    ) and x.shape[-1] == k and k % 128 == 0 and n % 256 == 0
-    blocks = (
-        _pick_blocks(m, k, n, residual=residual is not None)
-        if use_pallas else None
+        (jax.default_backend() in ("tpu", "axon") or INTERPRET)
+        and x.shape[-1] == k and k % 128 == 0 and n % 256 == 0
+        and (groups == 0 or (k % groups == 0 and (k // groups) % 128 == 0))
     )
+    if groups:
+        layout = (
+            _pick_layout_prequant(m, k, n, groups, residual is not None)
+            if use_pallas else None
+        )
+        blocks = None if layout is None else layout[1:]
+        m_inner = False if layout is None else layout[0]
+    else:
+        blocks = (
+            _pick_blocks(
+                m, k, n, residual=residual is not None,
+                out_bytes=1 if quant_out else 2,
+                align=quant_out_align if quant_out else None,
+            )
+            if use_pallas else None
+        )
+        m_inner = False
     if blocks is None:
         return _qmm_reference(
             x, wq, w_scale, bias, residual,
             ln=ln, act=act, residual=residual is not None, ln_eps=ln_eps,
             out_dtype=out_dtype,
+            x_scales=x_scales,
+            quant_out_group=n if quant_out else None,
         )
     bm, bn = blocks
 
     from transparent_object_detection_tpu.ops.attention import log_custom_flops
 
-    if _prefer_split(m, k, n, ln, act, residual):
+    if groups == 0 and not quant_out and _prefer_split(m, k, n, ln, act, residual):
         # Split path: the int8 dot is a plain XLA dot_general, so XLA's
         # cost analysis already counts its 2mkn as (bf16-rate) flops —
         # log a negative bf16 correction and the same work as int8 so
@@ -415,16 +668,25 @@ def _qmm_dispatch(x, wq, w_scale, bias, residual, *, ln, act, ln_eps, out_dtype)
 
     log_custom_flops(2.0 * m * k * n, int8=True)
     out = _qmm_call(
-        x.reshape(m, k), wq, w_scale, bias,
+        x.reshape(m, k),
+        x_scales.reshape(m, groups) if groups else None,
+        wq, w_scale, bias,
         residual.reshape(m, n) if residual is not None else None,
         out_dtype=out_dtype, bm=bm, bn=bn, ln=ln, act=act,
         residual=residual is not None, ln_eps=ln_eps,
+        groups=groups, quant_out=quant_out, m_inner=m_inner,
     )
+    if quant_out:
+        payload, scales = out
+        return (
+            payload.reshape(*x.shape[:-1], n),
+            scales.reshape(*x.shape[:-1], n // bn),
+        )
     return out.reshape(*x.shape[:-1], n)
 
 
 def quant_matmul(
-    x: Array,
+    x: Optional[Array],
     w: Array,
     bias: Optional[Array] = None,
     ln_scale: Optional[Array] = None,
@@ -433,7 +695,10 @@ def quant_matmul(
     act: Optional[str] = None,
     residual: Optional[Array] = None,
     out_dtype=jnp.bfloat16,
-) -> Array:
+    quant_out: bool = False,
+    quant_out_align: Optional[Tuple[int, int]] = None,
+    x_quant: Optional[Tuple[Array, Array]] = None,
+):
     """[LayerNorm ->] dynamic-int8-quant -> int8 matmul -> [bias/gelu/residual].
 
     x: (..., K) bf16; w: (K, N) fp32 kernel (quantized per-output-channel
@@ -441,12 +706,30 @@ def quant_matmul(
     Pallas kernel on TPU when shapes tile cleanly, else the identical-math
     XLA fallback.
 
+    int8 HANDOFF between chained projections (mlp1 -> mlp2 in the TEB):
+
+      * `quant_out=True`: returns (int8 payload (..., N), f32 scales
+        (..., N/g)) instead of a bf16 value — the epilogue quantizes each
+        output tile per-row (g = the kernel's n-tile width, discoverable as
+        N // scales.shape[-1]). Halves the intermediate's HBM write.
+      * `x_quant=(payload, scales)`: consumes such a pair (pass x=None) —
+        halves the read, and replaces the consumer's bf16 quantize prologue
+        with a cheap int8 rescale (or nothing, when the producer tile was
+        full-width). The extra rounding is at the same <=0.4%-of-rowmax
+        magnitude as the bf16 path's own per-row quantize, so the handoff
+        does not change the quantization-noise class (e2e drift stays 0).
+
     Under a registered compute mesh (ops/shard.py) with a batched input, the
     whole dispatch is wrapped in shard_map over the data axis — GSPMD cannot
     partition a pallas_call, so without this the int8 serving path would not
     run data-parallel. Block picking then sees the per-shard local M.
     """
     ln = ln_scale is not None
+    if x_quant is not None:
+        assert x is None and not ln, "x_quant is exclusive with x / LN"
+        x, x_scales = x_quant
+    else:
+        x_scales = None
     if ln:
         w, bias = _fold_ln(w, bias, ln_scale, ln_bias)
     wq, w_scale = quantize_weights(w)
@@ -465,28 +748,41 @@ def quant_matmul(
         and (residual is None or residual.shape[0] == x.shape[0])
     ):
         has_bias, has_res = bias is not None, residual is not None
+        has_xs = x_scales is not None
 
         def local_fn(*args):
             it = iter(args)
             x_l = next(it)
+            xs_l = next(it) if has_xs else None
             wq_l, ws_l = next(it), next(it)
             b_l = next(it) if has_bias else None
             r_l = next(it) if has_res else None
             return _qmm_dispatch(
                 x_l, wq_l, ws_l, b_l, r_l,
                 ln=ln, act=act, ln_eps=ln_eps, out_dtype=out_dtype,
+                x_scales=xs_l, quant_out=quant_out,
+                quant_out_align=quant_out_align,
             )
 
-        operands = [x, wq, w_scale]
+        operands = [x]
         batch_idx = {0}
+        if has_xs:
+            batch_idx.add(len(operands))
+            operands.append(x_scales)
+        operands += [wq, w_scale]
         if has_bias:
             operands.append(bias)
         if has_res:
             batch_idx.add(len(operands))
             operands.append(residual)
-        return maybe_shard_map(local_fn, batch_arg_indices=batch_idx)(*operands)
+        return maybe_shard_map(
+            local_fn, batch_arg_indices=batch_idx,
+            n_out=2 if quant_out else 1,
+        )(*operands)
 
     return _qmm_dispatch(
         x, wq, w_scale, bias, residual,
         ln=ln, act=act, ln_eps=ln_eps, out_dtype=out_dtype,
+        x_scales=x_scales, quant_out=quant_out,
+        quant_out_align=quant_out_align,
     )

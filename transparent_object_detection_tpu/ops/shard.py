@@ -38,12 +38,12 @@ def get_compute_mesh() -> Tuple[Optional[object], str]:
     return _MESH, _AXIS
 
 
-def maybe_shard_map(fn, batch_arg_indices=None):
+def maybe_shard_map(fn, batch_arg_indices=None, n_out: int = 1):
     """Wrap `fn` in shard_map over the registered mesh's data axis.
 
     Args at `batch_arg_indices` (default: all) are sharded on their leading
-    axis; the rest are replicated. The single output is sharded on its
-    leading axis. Returns `fn` unchanged when no mesh is registered.
+    axis; the rest are replicated. Each of the `n_out` outputs is sharded on
+    its leading axis. Returns `fn` unchanged when no mesh is registered.
     """
     if _MESH is None:
         return fn
@@ -60,9 +60,11 @@ def maybe_shard_map(fn, batch_arg_indices=None):
             batch if i in batch_arg_indices else repl for i in range(n)
         )
 
+    out_specs = batch if n_out == 1 else tuple(batch for _ in range(n_out))
+
     def wrapped(*args):
         return shard_map(
-            fn, mesh=_MESH, in_specs=specs(len(args)), out_specs=batch,
+            fn, mesh=_MESH, in_specs=specs(len(args)), out_specs=out_specs,
             check_rep=False,
         )(*args)
 
