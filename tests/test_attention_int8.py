@@ -204,3 +204,59 @@ def test_teb_int8_attn_handoff_path_close_to_bf16(rng, monkeypatch):
     got = np.asarray(teb8.apply(variables, x, train=False))
     rel = np.abs(got - base) / (np.abs(base) + 1e-1)
     assert np.median(rel) < 0.05, np.median(rel)
+
+
+def test_quant_out_variant_matches_bf16_output_kernel(rng, monkeypatch):
+    """attention_int8_quant_out's dequantized (payload, per-(row, head)
+    scales) == the bf16-output int8 kernel within per-head quantization
+    error (the per-head quantize replaces attn_out's per-row prologue
+    quantize of the same values — see _mha_flash_int8_qout_kernel)."""
+    import transparent_object_detection_tpu.ops.quant_matmul as qmm_mod
+
+    monkeypatch.setattr(a8, "INTERPRET", True)
+    b, n, heads, dh = 2, 128, 4, 128
+    c = heads * dh
+    mk = lambda s: jnp.asarray(
+        rng.normal(size=(b, n, c)) * 0.4, jnp.float32
+    ).astype(jnp.bfloat16)
+    q, k, v = mk(0), mk(1), mk(2)
+    out = a8.attention_int8_quant_out(q, k, v, scale=0.08, num_heads=heads)
+    assert out is not None
+    payload, scales = out
+    assert payload.dtype == jnp.int8 and scales.shape == (b, n, heads)
+    bq, bk = pick_blocks(n, c, heads, cv=c)
+    ref = a8.flash_attention_mha_int8(q, k, v, heads, 0.08, bq, bk)
+    deq = np.asarray(
+        qmm_mod.dequantize(payload, scales, dtype=jnp.float32)
+    )
+    rel = np.abs(deq - np.asarray(ref, np.float32)).max() / (
+        np.abs(np.asarray(ref, np.float32)).max() + 1e-9
+    )
+    assert rel < 0.02, rel
+
+
+def test_teb_attention_qout_path_close_to_bf16(rng, monkeypatch):
+    """TEB routes attention -> attn_out through the output-side handoff
+    (TOD_ATTN_QOUT=1, interpret mode) and stays close to the bf16 TEB.
+    Default OFF on v5e: measured a wash/slight loss e2e (140.1 vs 140.9
+    imgs/s batch-32 phi='s') — the attention kernel is VPU-bound, so the
+    h-inner grid + one-hot scale writes cost what the saved o round trip
+    buys; kept env-gated for future VPU-lighter kernels."""
+    import transparent_object_detection_tpu.ops.quant_matmul as qmm_mod
+    from transparent_object_detection_tpu.models.blocks import (
+        TransformerEncoderBlock,
+    )
+
+    monkeypatch.setattr(a8, "INTERPRET", True)
+    monkeypatch.setattr(qmm_mod, "INTERPRET", True)
+    monkeypatch.setenv("TOD_ATTN_QOUT", "1")
+    x = jnp.asarray(rng.normal(size=(1, 48, 48, 128)), jnp.float32)  # N=2304
+    teb8 = TransformerEncoderBlock(
+        num_heads=1, dtype=jnp.float32, int8_dense=True, int8_attn=True,
+    )
+    teb = TransformerEncoderBlock(num_heads=1, dtype=jnp.float32)
+    variables = teb.init(jax.random.key(0), x, train=False)
+    base = np.asarray(teb.apply(variables, x, train=False))
+    got = np.asarray(teb8.apply(variables, x, train=False))
+    rel = np.abs(got - base) / (np.abs(base) + 1e-1)
+    assert np.median(rel) < 0.05, np.median(rel)

@@ -599,13 +599,42 @@ class TransformerEncoderBlock(nn.Module):
                 )
             else:
                 q, k, v = jnp.split(qkv, 3, axis=-1)
-                o = attention(
-                    q, k, v, scale=scale, impl=self.attention_impl,
-                    num_heads=heads, int8=int8_attn,
-                )
-                tokens = quant_matmul(
-                    o, ao_w, bias=ao_b, residual=tokens, out_dtype=self.dtype
-                )
+                # Output-side attention handoff (separable from the losing
+                # input side above): the int8 flash kernel emits int8 +
+                # per-(row, head) scales and attn_out ingests them via
+                # x_quant — the (B, N, C) bf16 o intermediate never
+                # round-trips HBM and attn_out's bf16 quantize prologue
+                # becomes an int8 rescale. The int8 x/out tiles also halve
+                # attn_out's VMEM footprint, unlocking taller weight-resident
+                # m-tiles (ops/quant_matmul._pick_layout_prequant).
+                oq = None
+                if (
+                    int8_attn
+                    and n > 1024
+                    and self.attention_impl in (None, "pallas")
+                    and (c // heads) % 128 == 0
+                    and os.environ.get("TOD_ATTN_QOUT", "0") == "1"
+                ):
+                    from transparent_object_detection_tpu.ops.attention_int8 import (
+                        attention_int8_quant_out,
+                    )
+
+                    oq = attention_int8_quant_out(
+                        q, k, v, scale=scale, num_heads=heads
+                    )
+                if oq is not None:
+                    tokens = quant_matmul(
+                        None, ao_w, bias=ao_b, residual=tokens,
+                        out_dtype=self.dtype, x_quant=oq,
+                    )
+                else:
+                    o = attention(
+                        q, k, v, scale=scale, impl=self.attention_impl,
+                        num_heads=heads, int8=int8_attn,
+                    )
+                    tokens = quant_matmul(
+                        o, ao_w, bias=ao_b, residual=tokens, out_dtype=self.dtype
+                    )
             # int8 handoff: mlp1 emits int8 payload + per-(row, group)
             # scales and mlp2 consumes them directly — the (tokens, 4c)
             # gelu intermediate (the largest tensor in the block) never

@@ -169,6 +169,159 @@ def flash_attention_mha_int8(
     )(q, kq, ks, vq, vs)
 
 
+def _mha_flash_int8_qout_kernel(
+    q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, os_ref,
+    qq_scr, qs_scr, m_scr, l_scr, acc_scr, *, scale: float,
+):
+    """Base int8 kernel variant emitting int8 output + per-(row, head) scales.
+
+    Same math as _mha_flash_int8_kernel (bf16 q quantized in the ki == 0
+    prologue, k/v pre-quantized per block by _quantize_kv), but the grid is
+    (batch, q-block, head, kv-block) — head INSIDE q — so the (1, bq, H)
+    output-scales block is revisited on consecutive steps and stays in VMEM
+    until every head has one-hot-written its column (same layout trick as
+    _mha_flash_int8_handoff_kernel). The consumer is the attn_out
+    projection's x_quant path (ops/quant_matmul.py, groups == H): the
+    (B, N, C) bf16 o intermediate never round-trips HBM, and attn_out's
+    bf16 quantize prologue becomes an int8 rescale. The per-head quantize
+    here replaces (not adds to) the per-row quantize attn_out's prologue
+    would have applied to the same values, so the rounding-noise class is
+    unchanged (plus one <=0.4%-of-rowmax requant round in the consumer).
+    """
+    hi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        qf = q_ref[0].astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-12)
+        qq_scr[...] = jnp.round(qf * (127.0 / amax)).astype(jnp.int8)
+        qs_scr[:, 0:1] = amax * (1.0 / 127.0)
+
+    s32 = jax.lax.dot_general(
+        qq_scr[...], kq_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    row_scale = qs_scr[:, 0:1] * (ks_ref[0, hi, ki] * scale)
+    s = s32.astype(jnp.float32) * row_scale
+
+    m_prev = m_scr[:, 0:1]
+    l_prev = l_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p127 = jnp.exp(s - (m_new - 4.8441870864585885))  # ln(127)
+    correction = jnp.exp(m_prev - m_new)
+    l_scr[:, 0:1] = l_prev * correction + jnp.sum(p127, axis=-1, keepdims=True)
+    pq = jnp.round(p127).astype(jnp.int8)
+    pv32 = jax.lax.dot_general(
+        pq, vq_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_scr[:] = acc_scr[:] * correction + pv32.astype(jnp.float32) * vs_ref[0, hi, ki]
+    m_scr[:, 0:1] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o = acc_scr[:] * (1.0 / l_scr[:, 0:1])  # (bq, dv) f32
+        amax = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-30)
+        o_ref[0] = jnp.round(o * (127.0 / amax)).astype(jnp.int8)
+        colh = jax.lax.broadcasted_iota(jnp.int32, os_ref.shape[1:], 1)
+        os_ref[0] = jnp.where(colh == hi, amax * (1.0 / 127.0), os_ref[0])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "block_q", "block_k")
+)
+def flash_attention_mha_int8_qout(
+    q: Array, k: Array, v: Array, num_heads: int, scale: float,
+    block_q: int, block_k: int,
+) -> Tuple[Array, Array]:
+    """int8 streaming attention on head-packed bf16 (B, N, H*dh) arrays,
+    emitting (int8 payload (B, N, Cv), f32 per-(row, head) scales (B, N, H))
+    for a quant_matmul x_quant consumer. See _mha_flash_int8_qout_kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, cq = q.shape
+    cv = v.shape[2]
+    dq = cq // num_heads
+    dv = cv // num_heads
+    h = num_heads
+    kq, ks = _quantize_kv(k, num_heads, block_k)
+    vq, vs = _quantize_kv(v, num_heads, block_k)
+    grid = (b, n // block_q, h, n // block_k)
+    return pl.pallas_call(
+        functools.partial(_mha_flash_int8_qout_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dq), lambda bi, qi, hi, ki: (bi, qi, hi)),
+            pl.BlockSpec((1, block_k, dq), lambda bi, qi, hi, ki: (bi, ki, hi)),
+            pl.BlockSpec(
+                (1, h, n // block_k), lambda bi, qi, hi, ki: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, block_k, dv), lambda bi, qi, hi, ki: (bi, ki, hi)),
+            pl.BlockSpec(
+                (1, h, n // block_k), lambda bi, qi, hi, ki: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, dv), lambda bi, qi, hi, ki: (bi, qi, hi)),
+            pl.BlockSpec((1, block_q, h), lambda bi, qi, hi, ki: (bi, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, cv), jnp.int8),
+            jax.ShapeDtypeStruct((b, n, h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, dq), jnp.int8),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(q, kq, ks, vq, vs)
+
+
+def attention_int8_quant_out(
+    q: Array, k: Array, v: Array, scale: float, num_heads: int,
+) -> Optional[Tuple[Array, Array]]:
+    """Dispatch wrapper for the quant_out attention variant: returns
+    (payload, per-(row, head) scales) for quant_matmul's x_quant path, or
+    None when shapes don't tile / backend is not TPU (caller falls back to
+    the bf16-output kernel)."""
+    ok_backend = jax.default_backend() in ("tpu", "axon") or INTERPRET
+    if not ok_backend:
+        return None
+    blocks = pick_blocks(
+        q.shape[1], q.shape[2], num_heads, cv=v.shape[2]
+    )
+    if blocks is None:
+        return None
+
+    from transparent_object_detection_tpu.ops.attention import _log_flash_launch
+    from transparent_object_detection_tpu.ops.shard import maybe_shard_map
+
+    b, n, cq = q.shape
+    _log_flash_launch(b, n, cq, v.shape[2], int8=True)
+
+    def local(q_l, k_l, v_l):
+        return flash_attention_mha_int8_qout(
+            q_l, k_l, v_l, num_heads=num_heads, scale=scale,
+            block_q=blocks[0], block_k=blocks[1],
+        )
+
+    launch = maybe_shard_map(local, n_out=2)
+    return launch(q, k, v)
+
+
 def _block32(n: int, preferred: int) -> Optional[int]:
     """Largest block <= preferred dividing n, multiple of 32 (int8 sublane)."""
     for b in range(min(preferred, n) // 32 * 32, 31, -32):
