@@ -1,0 +1,107 @@
+"""Packed-qkv attention (ops/attention.attention_qkv): the serving path
+consumes the fused qkv projection output in place instead of jnp.split
+(which materializes each section as an HBM copy before a pallas_call).
+
+Parity oracles: reference_attention on the split sections, and the
+existing split-path kernels, both run through the Pallas interpreter.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import transparent_object_detection_tpu.ops.attention as attn_mod
+import transparent_object_detection_tpu.ops.attention_int8 as a8
+from transparent_object_detection_tpu.ops.attention import (
+    attention_qkv,
+    reference_attention,
+)
+
+
+def _packed(key, b, n, c):
+    return jax.random.normal(key, (b, n, 3 * c), jnp.float32).astype(jnp.bfloat16)
+
+
+def test_packed_bf16_matches_reference(monkeypatch):
+    monkeypatch.setattr(attn_mod, "INTERPRET", True)
+    b, n, c, heads = 1, 1024, 256, 2
+    qkv = _packed(jax.random.PRNGKey(0), b, n, c)
+    scale = (c // heads) ** -0.5
+    out = attention_qkv(qkv, scale=scale, impl="pallas", num_heads=heads)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    d = c // heads
+    fold = lambda t: (
+        t.reshape(b, n, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, n, d)
+    )
+    ref = reference_attention(fold(q), fold(k), fold(v), scale)
+    ref = ref.reshape(b, heads, n, d).transpose(0, 2, 1, 3).reshape(b, n, c)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_packed_int8_matches_split_kernel(monkeypatch):
+    monkeypatch.setattr(a8, "INTERPRET", True)
+    b, n, c, heads = 1, 512, 256, 2
+    qkv = _packed(jax.random.PRNGKey(1), b, n, c)
+    scale = (c // heads) ** -0.5
+    # force the int8 packed route (n > 1024 gate lives in the TEB, not here)
+    out = attention_qkv(qkv, scale=scale, impl="pallas", num_heads=heads, int8=True)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    blocks = a8.pick_blocks(n, c, heads)
+    assert blocks is not None
+    ref = a8.flash_attention_mha_int8(q, k, v, heads, scale, *blocks)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=1e-6, rtol=1e-6,
+    )
+
+
+def test_packed_int8_q_width_zero_copy(monkeypatch):
+    """The packed q operand with q_width must equal running on the sliced
+    q — exact, since the kernel reads identical bytes."""
+    monkeypatch.setattr(a8, "INTERPRET", True)
+    b, n, c, heads = 1, 256, 256, 2
+    qkv = _packed(jax.random.PRNGKey(2), b, n, c)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    blocks = a8.pick_blocks(n, c, heads)
+    assert blocks is not None
+    packed = a8.flash_attention_mha_int8(
+        qkv, k, v, heads, 1.0, *blocks, q_width=c
+    )
+    split = a8.flash_attention_mha_int8(q, k, v, heads, 1.0, *blocks)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(split))
+
+
+def test_packed_fallback_split(monkeypatch):
+    """Off-TPU without interpret, attention_qkv must fall back to the split
+    dispatcher and still be correct (chunked path)."""
+    b, n, c, heads = 1, 640, 128, 1
+    qkv = _packed(jax.random.PRNGKey(3), b, n, c)
+    out = attention_qkv(qkv, scale=0.1, impl="chunked", num_heads=heads)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ref = reference_attention(q, k, v, 0.1)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_teb_eval_packed_matches_train_split():
+    """TransformerEncoderBlock routes eval through attention_qkv and train
+    through the split path — same math (XLA impl both sides here)."""
+    from transparent_object_detection_tpu.models.blocks import (
+        TransformerEncoderBlock,
+    )
+
+    teb = TransformerEncoderBlock(num_heads=2, attention_impl="xla", dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 64), jnp.float32)
+    variables = teb.init(jax.random.PRNGKey(5), x, train=False)
+    out_eval = teb.apply(variables, x, train=False)
+    out_train = teb.apply(variables, x, train=True)
+    np.testing.assert_allclose(
+        np.asarray(out_eval), np.asarray(out_train), atol=1e-5, rtol=1e-5
+    )

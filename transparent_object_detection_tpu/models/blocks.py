@@ -598,7 +598,6 @@ class TransformerEncoderBlock(nn.Module):
                     out_dtype=self.dtype, x_quant=handoff,
                 )
             else:
-                q, k, v = jnp.split(qkv, 3, axis=-1)
                 # Output-side attention handoff (separable from the losing
                 # input side above): the int8 flash kernel emits int8 +
                 # per-(row, head) scales and attn_out ingests them via
@@ -619,6 +618,7 @@ class TransformerEncoderBlock(nn.Module):
                         attention_int8_quant_out,
                     )
 
+                    q, k, v = jnp.split(qkv, 3, axis=-1)
                     oq = attention_int8_quant_out(
                         q, k, v, scale=scale, num_heads=heads
                     )
@@ -628,8 +628,16 @@ class TransformerEncoderBlock(nn.Module):
                         out_dtype=self.dtype, x_quant=oq,
                     )
                 else:
-                    o = attention(
-                        q, k, v, scale=scale, impl=self.attention_impl,
+                    # packed consumption: the flash kernels read q/k/v out
+                    # of the fused projection output in place — jnp.split
+                    # before a pallas_call materializes each section as a
+                    # real HBM copy (ops/attention.attention_qkv)
+                    from transparent_object_detection_tpu.ops.attention import (
+                        attention_qkv,
+                    )
+
+                    o = attention_qkv(
+                        qkv, scale=scale, impl=self.attention_impl,
                         num_heads=heads, int8=int8_attn,
                     )
                     tokens = quant_matmul(
@@ -657,13 +665,26 @@ class TransformerEncoderBlock(nn.Module):
         y = nn.LayerNorm(dtype=self.norm_dtype, param_dtype=jnp.float32, name="norm1")(tokens)
         y = y.astype(self.dtype)
         qkv = dense(3 * c, "qkv")(y)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
         # heads stay packed in the channel axis; the multi-head flash kernel
-        # grids over them (no HBM transpose when head_dim is 128-aligned)
-        o = attention(
-            q, k, v, scale=scale, impl=self.attention_impl,
-            num_heads=heads, int8=int8_attn,
-        )
+        # grids over them (no HBM transpose when head_dim is 128-aligned).
+        # At eval the packed kernels read q/k/v straight out of the fused
+        # projection output (no split copies); training needs the custom-VJP
+        # split route.
+        if not train:
+            from transparent_object_detection_tpu.ops.attention import (
+                attention_qkv,
+            )
+
+            o = attention_qkv(
+                qkv, scale=scale, impl=self.attention_impl,
+                num_heads=heads, int8=int8_attn,
+            )
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            o = attention(
+                q, k, v, scale=scale, impl=self.attention_impl,
+                num_heads=heads, int8=int8_attn,
+            )
         y = dense(c, "attn_out")(o)
         tokens = tokens + y
 

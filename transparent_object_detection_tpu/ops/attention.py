@@ -26,6 +26,11 @@ from jax.experimental import pallas as pl
 
 Array = jax.Array
 
+# Flip to run the bf16 flash kernels through the Pallas interpreter (CPU
+# tests of the packed-qkv path; the plain q/k/v kernels are TPU-gated by
+# the dispatcher and never reach pallas_call off-TPU).
+INTERPRET = False
+
 # Mesh registration for SPMD execution lives in ops/shard.py (shared with
 # the fused int8 matmul): GSPMD cannot auto-partition a pallas_call, so when
 # a mesh is set the flash kernels are wrapped in shard_map over the data
@@ -157,17 +162,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: f
     k_blk = k_ref[0]
     v_blk = v_ref[0]
 
+    # exp2-domain online softmax: scale carries a folded log2(e) (see the
+    # launchers), so exp() becomes the native VPU exp2 with no per-element
+    # ×log2(e) multiply. Identical real function.
     s = (
         jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        * scale
-    )  # (bq, bk) f32
+        * (scale * 1.4426950408889634)
+    )  # (bq, bk) f32, log2 domain
     m_prev = m_scr[:, 0:1]
     l_prev = l_scr[:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    correction = jnp.exp(m_prev - m_new)
+    p = jax.lax.exp2(s - m_new)
+    correction = jax.lax.exp2(m_prev - m_new)
     l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
         p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
@@ -246,17 +254,19 @@ def _mha_flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scal
     k_blk = k_ref[0]
     v_blk = v_ref[0]
 
+    # exp2-domain online softmax (see _flash_kernel): log2(e) folded into
+    # the scalar scale, native VPU exp2, identical real function.
     s = (
         jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        * scale
+        * (scale * 1.4426950408889634)
     )
     m_prev = m_scr[:, 0:1]
     l_prev = l_scr[:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    correction = jnp.exp(m_prev - m_new)
+    p = jax.lax.exp2(s - m_new)
+    correction = jax.lax.exp2(m_prev - m_new)
     l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
         p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
@@ -306,6 +316,141 @@ def flash_attention_mha(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
     )(q, k, v)
+
+
+def flash_attention_mha_packed(
+    qkv: Array, num_heads: int, scale: float, block_q: int, block_k: int,
+) -> Array:
+    """Multi-head streaming attention reading q/k/v straight out of ONE
+    packed (B, N, 3C) array (the fused qkv projection's output, sections
+    [q | k | v], heads packed inside each section).
+
+    `jnp.split` before a pallas_call materializes each (B, N, C) section as
+    a real HBM copy (a pallas operand must be a whole array, so XLA cannot
+    fuse the slice into the kernel) — ~3.8 GB/step of pure copy traffic on
+    the phi='s' batch-32 neck. Here the SAME packed array is passed three
+    times with column-offset index maps (q head hi at block-column hi, k at
+    H + hi, v at 2H + hi), so the copies never exist. Serving-only (the
+    training path keeps the split + custom-VJP route).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    h = num_heads
+    grid = (b, h, n // block_q, n // block_k)
+    return pl.pallas_call(
+        functools.partial(_mha_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
+            pl.BlockSpec((1, block_k, d), lambda bi, hi, qi, ki: (bi, ki, h + hi)),
+            pl.BlockSpec(
+                (1, block_k, d), lambda bi, hi, qi, ki: (bi, ki, 2 * h + hi)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(qkv, qkv, qkv)
+
+
+def attention_qkv(
+    qkv: Array,
+    scale: float = 1.0,
+    impl: Optional[str] = None,
+    num_heads: int = 1,
+    int8: bool = False,
+    block_q: int = 1024,
+    block_k: int = 1024,
+) -> Array:
+    """Packed serving front-end: one (B, N, 3C) array straight from the
+    fused qkv projection (equal q/k/v widths). Routes to flash kernels that
+    consume the packed array in place — the 3-way `jnp.split` copies
+    (each section materialized in HBM before a pallas_call) never happen.
+    Falls back to split + `attention` whenever the packed kernels don't
+    apply (tiny maps, ragged shapes, non-TPU backend, or a tensor-parallel
+    mesh — TP shards the channel axis, and a packed 3C axis would split
+    MID-SECTION across model ranks).
+    """
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    if impl is None:
+        if n <= 1024:
+            impl = "xla"
+        else:
+            impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "chunked"
+
+    from transparent_object_detection_tpu.ops.shard import get_compute_mesh
+
+    mesh, _ = get_compute_mesh()
+    tp = 1
+    if mesh is not None:
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        tp = sizes.get("model", 1)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon") or INTERPRET
+    if impl == "pallas" and on_tpu and tp == 1 and num_heads >= 1:
+        if int8:
+            from transparent_object_detection_tpu.ops.attention_int8 import (
+                INTERPRET as INT8_INTERPRET,
+                flash_attention_mha_int8,
+                pick_blocks,
+            )
+
+            blocks = pick_blocks(n, c, num_heads)
+            if blocks is not None and (
+                jax.default_backend() in ("tpu", "axon") or INT8_INTERPRET
+            ):
+                _log_flash_launch(b, n, c, c, int8=True)
+                k = jax.lax.slice_in_dim(qkv, c, 2 * c, axis=2)
+                v = jax.lax.slice_in_dim(qkv, 2 * c, 3 * c, axis=2)
+                # k/v slices fuse into _quantize_kv's elementwise+reduce
+                # read; q rides the packed array via q_width (zero copies)
+                launch = _maybe_shard_map(
+                    lambda h: functools.partial(
+                        flash_attention_mha_int8, num_heads=h, scale=scale,
+                        block_q=blocks[0], block_k=blocks[1], q_width=c,
+                    ),
+                    num_heads,
+                )
+                return launch(qkv, k, v)
+        d = c // num_heads if num_heads > 1 else c
+        dv_head = d
+        bq_pref, bk_pref = block_q, block_k
+        if dv_head <= 256:
+            if bq_pref == 1024:
+                bq_pref = 400
+            if bk_pref == 1024:
+                bk_pref = 3200
+        bq = _divisor_block(n, bq_pref)
+        bk = _divisor_block(n, bk_pref)
+        if bq is not None and bk is not None and d % 128 == 0:
+            _log_flash_launch(b, n, c, c)
+            # _maybe_shard_map builds (q, k, v)-arity wrappers; the packed
+            # kernel reads everything from the first operand (the other two
+            # slots get the same array — same buffer, no copies).
+            launch = _maybe_shard_map(
+                lambda h: (
+                    lambda qp, _k, _v: flash_attention_mha_packed(
+                        qp, h, scale, bq, bk
+                    )
+                ),
+                num_heads,
+            )
+            return launch(qkv, qkv, qkv)
+
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return attention(q, k, v, scale, impl, block_q, block_k, num_heads, int8)
 
 
 @functools.lru_cache(maxsize=64)

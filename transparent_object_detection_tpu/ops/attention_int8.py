@@ -88,7 +88,7 @@ def _mha_flash_int8_kernel(
         preferred_element_type=jnp.int32,
     )  # (bq, bk) int8 MXU
     # rank-1 dequant: per-row q scale x scalar (k-block scale * softmax scale)
-    row_scale = qs_scr[:, 0:1] * (ks_ref[0, hi, ki] * scale)  # (bq, 1)
+    row_scale = qs_scr[:, 0:1] * (ks_ref[0, hi, ki] * (scale * 1.4426950408889634))  # (bq, 1)
     s = s32.astype(jnp.float32) * row_scale
 
     m_prev = m_scr[:, 0:1]
@@ -96,8 +96,12 @@ def _mha_flash_int8_kernel(
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     # fold the fixed p-quantization scale into the exp: p127 = 127 * p.
     # l accumulates in 127-units; the final o = acc/l cancels the factor.
-    p127 = jnp.exp(s - (m_new - 4.8441870864585885))  # ln(127)
-    correction = jnp.exp(m_prev - m_new)
+    # exp2 domain: the ×log2(e) that exp() would apply per element is folded
+    # into row_scale above (one (bq, 1) multiply instead of (bq, bk)) — the
+    # VPU transcendental is exp2 natively, so this is the same function with
+    # one fewer full-tile multiply pass. 6.9886... = log2(127).
+    p127 = jax.lax.exp2(s - (m_new - 6.988684686772166))
+    correction = jax.lax.exp2(m_prev - m_new)
     l_scr[:, 0:1] = l_prev * correction + jnp.sum(p127, axis=-1, keepdims=True)
     pq = jnp.round(p127).astype(jnp.int8)
     pv32 = jax.lax.dot_general(
@@ -115,11 +119,11 @@ def _mha_flash_int8_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "block_q", "block_k")
+    jax.jit, static_argnames=("num_heads", "scale", "block_q", "block_k", "q_width")
 )
 def flash_attention_mha_int8(
     q: Array, k: Array, v: Array, num_heads: int, scale: float,
-    block_q: int, block_k: int,
+    block_q: int, block_k: int, q_width: Optional[int] = None,
 ) -> Array:
     """int8 streaming attention on head-packed (B, N, H*dh) bf16 arrays.
 
@@ -127,10 +131,18 @@ def flash_attention_mha_int8(
     SelfAttention: qk at C/8, v at C). The v head dim must be a multiple
     of 128 and N a multiple of the (32-aligned) blocks — the `attention`
     dispatcher guarantees this before calling.
+
+    `q_width`: when the q operand is the PACKED (B, N, 3C) qkv projection
+    output (attention.attention_qkv — avoids the jnp.split copies), the
+    logical q width C. The q section occupies block-columns [0, H) of the
+    packed array, so the q index map is unchanged; only the head-dim shape
+    math needs the logical width.
     """
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, cq = q.shape
+    if q_width is not None:
+        cq = q_width
     cv = v.shape[2]
     dq = cq // num_heads
     dv = cv // num_heads
@@ -206,14 +218,18 @@ def _mha_flash_int8_qout_kernel(
         qq_scr[...], kq_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    row_scale = qs_scr[:, 0:1] * (ks_ref[0, hi, ki] * scale)
+    row_scale = qs_scr[:, 0:1] * (ks_ref[0, hi, ki] * (scale * 1.4426950408889634))
     s = s32.astype(jnp.float32) * row_scale
 
     m_prev = m_scr[:, 0:1]
     l_prev = l_scr[:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p127 = jnp.exp(s - (m_new - 4.8441870864585885))  # ln(127)
-    correction = jnp.exp(m_prev - m_new)
+    # exp2 domain: the ×log2(e) that exp() would apply per element is folded
+    # into row_scale above (one (bq, 1) multiply instead of (bq, bk)) — the
+    # VPU transcendental is exp2 natively, so this is the same function with
+    # one fewer full-tile multiply pass. 6.9886... = log2(127).
+    p127 = jax.lax.exp2(s - (m_new - 6.988684686772166))
+    correction = jax.lax.exp2(m_prev - m_new)
     l_scr[:, 0:1] = l_prev * correction + jnp.sum(p127, axis=-1, keepdims=True)
     pq = jnp.round(p127).astype(jnp.int8)
     pv32 = jax.lax.dot_general(
@@ -442,14 +458,20 @@ def _mha_flash_int8_handoff_kernel(
         qq_ref[0], kq_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # (bq, bk) int8 MXU
-    row_scale = qsel_scr[:, 0:1] * (ks_ref[0, hi, ki] * scale)  # (bq, 1)
+    row_scale = qsel_scr[:, 0:1] * (
+        ks_ref[0, hi, ki] * (scale * 1.4426950408889634)
+    )  # (bq, 1); log2(e) folded for the exp2-domain softmax
     s = s32.astype(jnp.float32) * row_scale
 
     m_prev = m_scr[:, 0:1]
     l_prev = l_scr[:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p127 = jnp.exp(s - (m_new - 4.8441870864585885))  # ln(127)
-    correction = jnp.exp(m_prev - m_new)
+    # exp2 domain: the ×log2(e) that exp() would apply per element is folded
+    # into row_scale above (one (bq, 1) multiply instead of (bq, bk)) — the
+    # VPU transcendental is exp2 natively, so this is the same function with
+    # one fewer full-tile multiply pass. 6.9886... = log2(127).
+    p127 = jax.lax.exp2(s - (m_new - 6.988684686772166))
+    correction = jax.lax.exp2(m_prev - m_new)
     l_scr[:, 0:1] = l_prev * correction + jnp.sum(p127, axis=-1, keepdims=True)
     pq = jnp.round(p127).astype(jnp.int8)
     pv32 = jax.lax.dot_general(

@@ -619,6 +619,15 @@ def _qmm_dispatch(x, wq, w_scale, bias, residual, *, ln, act, ln_eps,
     for d in x.shape[:-1]:
         m *= d
     groups = 0 if x_scales is None else x_scales.shape[-1]
+    # NEGATIVE RESULT (r3, recorded so it isn't retried): routing the
+    # groups==1 direct-handoff consumer (mlp1 full-width quant_out -> mlp2)
+    # through a plain XLA int8 dot_general + fused dequant/residual measured
+    # 132.1 imgs/s e2e vs 140.6 through the Pallas direct path — even though
+    # the RAW XLA dot on the same (204800, 6144, 1536) shape with
+    # HBM-resident int8 operands runs 333 TOPS vs ~208 for the Pallas
+    # kernel. The raw rate does not survive contact with the Pallas-produced
+    # operand layout + the dequant consumer fusion. Calibration table in
+    # docs/ROADMAP.md.
     use_pallas = (
         (jax.default_backend() in ("tpu", "axon") or INTERPRET)
         and x.shape[-1] == k and k % 128 == 0 and n % 256 == 0
