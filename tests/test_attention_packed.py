@@ -48,12 +48,28 @@ def test_packed_int8_matches_split_kernel(monkeypatch):
     b, n, c, heads = 1, 512, 256, 2
     qkv = _packed(jax.random.PRNGKey(1), b, n, c)
     scale = (c // heads) ** -0.5
-    # force the int8 packed route (n > 1024 gate lives in the TEB, not here)
+    # verify the packed int8 route is ACTUALLY taken (an earlier version of
+    # this test passed vacuously: a bf16-oriented backend gate made
+    # attention_qkv fall back to split + attention on CPU, so both sides ran
+    # the identical kernel)
+    called = {}
+    real = a8.flash_attention_mha_int8
+
+    def spy(q, k, v, num_heads, scale, block_q, block_k, q_width=None):
+        called["q_width"] = q_width
+        called["q_cols"] = q.shape[2]
+        return real(q, k, v, num_heads, scale, block_q, block_k, q_width=q_width)
+
+    # attention_qkv imports the kernel from attention_int8 at call time,
+    # so the monkeypatched spy is what it resolves
+    monkeypatch.setattr(a8, "flash_attention_mha_int8", spy)
     out = attention_qkv(qkv, scale=scale, impl="pallas", num_heads=heads, int8=True)
+    assert called.get("q_width") == c, "packed int8 route was not taken"
+    assert called.get("q_cols") == 3 * c, "q operand should be the packed array"
     q, k, v = jnp.split(qkv, 3, axis=-1)
     blocks = a8.pick_blocks(n, c, heads)
     assert blocks is not None
-    ref = a8.flash_attention_mha_int8(q, k, v, heads, scale, *blocks)
+    ref = real(q, k, v, heads, scale, *blocks)
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=1e-6, rtol=1e-6,

@@ -280,21 +280,21 @@ def _mha_flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scal
         o_ref[0] = (acc_scr[:] * (1.0 / l_scr[:, 0:1])).astype(o_ref.dtype)
 
 
-def flash_attention_mha(
+def _mha_flash_call(
     q: Array, k: Array, v: Array, num_heads: int, scale: float, block_q: int,
-    block_k: int,
+    block_k: int, c: int, k_col_off: int, v_col_off: int, interpret: bool,
 ) -> Array:
-    """Multi-head streaming attention on head-packed (B, N, H*dh) arrays —
-    the layout a fused qkv projection produces. Heads are addressed by
-    slicing the channel axis in the BlockSpec index map (grid dim), so the
-    kernel sees contiguous (bq, dh) tiles with zero transposes in HBM.
+    """Shared launcher for the split and packed multi-head flash variants.
 
-    dh = C // num_heads must be a multiple of 128 for clean tiling; the
-    `attention` dispatcher falls back otherwise.
-    """
+    Heads are addressed by slicing the channel axis in the BlockSpec index
+    map (grid dim), so the kernel sees contiguous (bq, dh) tiles with zero
+    transposes in HBM. `c` is the LOGICAL per-section width (the operand
+    arrays may be wider, e.g. the packed (B, N, 3C) qkv); `k_col_off` /
+    `v_col_off` are head-block column offsets into the k/v operands (0 for
+    split arrays, H/2H for the packed layout)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    b, n, c = q.shape
+    b, n = q.shape[0], q.shape[1]
     d = c // num_heads
     grid = (b, num_heads, n // block_q, n // block_k)
     return pl.pallas_call(
@@ -302,8 +302,14 @@ def flash_attention_mha(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
-            pl.BlockSpec((1, block_k, d), lambda bi, hi, qi, ki: (bi, ki, hi)),
-            pl.BlockSpec((1, block_k, d), lambda bi, hi, qi, ki: (bi, ki, hi)),
+            pl.BlockSpec(
+                (1, block_k, d),
+                lambda bi, hi, qi, ki: (bi, ki, k_col_off + hi),
+            ),
+            pl.BlockSpec(
+                (1, block_k, d),
+                lambda bi, hi, qi, ki: (bi, ki, v_col_off + hi),
+            ),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
         out_shape=jax.ShapeDtypeStruct((b, n, c), q.dtype),
@@ -315,7 +321,24 @@ def flash_attention_mha(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(q, k, v)
+
+
+def flash_attention_mha(
+    q: Array, k: Array, v: Array, num_heads: int, scale: float, block_q: int,
+    block_k: int,
+) -> Array:
+    """Multi-head streaming attention on head-packed (B, N, H*dh) arrays —
+    the layout a fused qkv projection produces.
+
+    dh = C // num_heads must be a multiple of 128 for clean tiling; the
+    `attention` dispatcher falls back otherwise.
+    """
+    return _mha_flash_call(
+        q, k, v, num_heads, scale, block_q, block_k,
+        c=q.shape[2], k_col_off=0, v_col_off=0, interpret=INTERPRET,
+    )
 
 
 def flash_attention_mha_packed(
@@ -333,35 +356,11 @@ def flash_attention_mha_packed(
     H + hi, v at 2H + hi), so the copies never exist. Serving-only (the
     training path keeps the split + custom-VJP route).
     """
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, n, c3 = qkv.shape
-    c = c3 // 3
-    d = c // num_heads
-    h = num_heads
-    grid = (b, h, n // block_q, n // block_k)
-    return pl.pallas_call(
-        functools.partial(_mha_flash_kernel, scale=scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
-            pl.BlockSpec((1, block_k, d), lambda bi, hi, qi, ki: (bi, ki, h + hi)),
-            pl.BlockSpec(
-                (1, block_k, d), lambda bi, hi, qi, ki: (bi, ki, 2 * h + hi)
-            ),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bi, hi, qi, ki: (bi, qi, hi)),
-        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=INTERPRET,
-    )(qkv, qkv, qkv)
+    c = qkv.shape[2] // 3
+    return _mha_flash_call(
+        qkv, qkv, qkv, num_heads, scale, block_q, block_k,
+        c=c, k_col_off=num_heads, v_col_off=2 * num_heads, interpret=INTERPRET,
+    )
 
 
 def attention_qkv(
@@ -385,10 +384,7 @@ def attention_qkv(
     b, n, c3 = qkv.shape
     c = c3 // 3
     if impl is None:
-        if n <= 1024:
-            impl = "xla"
-        else:
-            impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "chunked"
+        impl = _auto_impl(n)
 
     from transparent_object_detection_tpu.ops.shard import get_compute_mesh
 
@@ -398,9 +394,12 @@ def attention_qkv(
         sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
         tp = sizes.get("model", 1)
 
-    on_tpu = jax.default_backend() in ("tpu", "axon") or INTERPRET
-    if impl == "pallas" and on_tpu and tp == 1 and num_heads >= 1:
+    backend_tpu = jax.default_backend() in ("tpu", "axon")
+    if impl == "pallas" and tp == 1:
         if int8:
+            # the int8 route has its OWN backend/interpret gate (its kernels
+            # live in attention_int8 with a separate INTERPRET flag) — don't
+            # couple it to this module's bf16 flag
             from transparent_object_detection_tpu.ops.attention_int8 import (
                 INTERPRET as INT8_INTERPRET,
                 flash_attention_mha_int8,
@@ -408,9 +407,7 @@ def attention_qkv(
             )
 
             blocks = pick_blocks(n, c, num_heads)
-            if blocks is not None and (
-                jax.default_backend() in ("tpu", "axon") or INT8_INTERPRET
-            ):
+            if blocks is not None and (backend_tpu or INT8_INTERPRET):
                 _log_flash_launch(b, n, c, c, int8=True)
                 k = jax.lax.slice_in_dim(qkv, c, 2 * c, axis=2)
                 v = jax.lax.slice_in_dim(qkv, 2 * c, 3 * c, axis=2)
@@ -424,17 +421,14 @@ def attention_qkv(
                     num_heads,
                 )
                 return launch(qkv, k, v)
-        d = c // num_heads if num_heads > 1 else c
-        dv_head = d
-        bq_pref, bk_pref = block_q, block_k
-        if dv_head <= 256:
-            if bq_pref == 1024:
-                bq_pref = 400
-            if bk_pref == 1024:
-                bk_pref = 3200
+        d = c // num_heads
+        bq_pref, bk_pref = _preferred_blocks(d, block_q, block_k)
         bq = _divisor_block(n, bq_pref)
         bk = _divisor_block(n, bk_pref)
-        if bq is not None and bk is not None and d % 128 == 0:
+        if (
+            (backend_tpu or INTERPRET)
+            and bq is not None and bk is not None and d % 128 == 0
+        ):
             _log_flash_launch(b, n, c, c)
             # _maybe_shard_map builds (q, k, v)-arity wrappers; the packed
             # kernel reads everything from the first operand (the other two
@@ -528,10 +522,7 @@ def attention(
     """
     b, n, c = q.shape
     if impl is None:
-        if n <= 1024:
-            impl = "xla"
-        else:
-            impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "chunked"
+        impl = _auto_impl(n)
 
     if int8 and impl == "pallas":
         from transparent_object_detection_tpu.ops.attention_int8 import (
@@ -551,17 +542,10 @@ def attention(
             )
             return launch(q, k, v)
 
-    # Measured on v5e (N=6400, dh=256): narrow-q / wide-kv tiles win — the
-    # kv axis is the sequential grid dim, so a wide k/v block amortizes the
-    # per-step accumulator rescale while the small q block keeps the fp32
-    # score tile inside VMEM (400x3200x4B ~ 5 MB). 59.7 -> 58.1 ms vs the
-    # 800/1600 default; bigger tiles fail to fit.
+    # narrow-q / wide-kv preference (59.7 -> 58.1 ms vs the 800/1600
+    # default at N=6400 dh=256; shared with attention_qkv)
     dv_head = (v.shape[-1] // num_heads) if num_heads > 1 else v.shape[-1]
-    if dv_head <= 256:
-        if block_q == 1024:
-            block_q = 400
-        if block_k == 1024:
-            block_k = 3200
+    block_q, block_k = _preferred_blocks(dv_head, block_q, block_k)
 
     if num_heads > 1:
         d = c // num_heads
@@ -600,6 +584,31 @@ def attention(
     if impl == "chunked":
         return chunked_attention(q, k, v, scale, block_q)
     raise ValueError(f"unknown attention impl {impl!r}")
+
+
+def _auto_impl(n: int) -> str:
+    """Auto dispatch shared by attention() / attention_qkv(): naive XLA for
+    tiny maps (N <= 1024 — the N² tile is small enough that XLA's fusion
+    wins), pallas on TPU backends, chunked elsewhere."""
+    if n <= 1024:
+        return "xla"
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "chunked"
+
+
+def _preferred_blocks(dv_head: int, block_q: int, block_k: int):
+    """Measured v5e tile preference shared by attention() / attention_qkv()
+    (single source so a retune propagates to both front-ends): narrow-q /
+    wide-kv wins when the head dim fits — the kv axis is the sequential
+    grid dim, so a wide k/v block amortizes the per-step accumulator
+    rescale while the small q block keeps the fp32 score tile in VMEM
+    (400x3200x4B ~ 5 MB). Callers pass their defaults (1024); explicit
+    user overrides pass through untouched."""
+    if dv_head <= 256:
+        if block_q == 1024:
+            block_q = 400
+        if block_k == 1024:
+            block_k = 3200
+    return block_q, block_k
 
 
 def _divisor_block(n: int, preferred: int) -> Optional[int]:
