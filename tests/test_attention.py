@@ -143,3 +143,37 @@ def test_mha_flash_interpreter_matches_reference(rng):
     ref = reference_attention(fold(q), fold(k), fold(v), scale=0.3)
     ref = ref.reshape(b, h, n, d).transpose(0, 2, 1, 3).reshape(b, n, h * d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_vmem_block_fitter_wide_head_dims():
+    """The bf16 flash block fitter must shrink tiles for the phi='l'/'x'
+    backbone SelfAttention (dv = C = 2048+) — a (800, 400) choice measured
+    17.58M scoped VMEM on v5e (> the 16M limit) — while leaving the
+    validated phi='s' configs untouched."""
+    from transparent_object_detection_tpu.ops.attention import (
+        _divisor_block,
+        _fit_blocks_vmem,
+    )
+
+    # phi='l' SelfAttention: must shrink to something that fits
+    bq, bk = _fit_blocks_vmem(
+        6400, 256, 2048, _divisor_block(6400, 1024), _divisor_block(6400, 1024)
+    )
+    assert bq is not None and bk is not None
+    budget = 14 * 1024 * 1024 + 512 * 1024
+    wset = (
+        2 * bq * 256 * 2 + 2 * bk * (256 + 2048) * 2 + 2 * bq * 2048 * 2
+        + bq * 2048 * 4 + bq * bk * 4 + 2 * bq * 128 * 4
+    )
+    assert wset <= budget
+
+    # validated phi='s' configs pass through unchanged
+    assert _fit_blocks_vmem(6400, 256, 256, 400, 3200) == (400, 3200)
+    assert _fit_blocks_vmem(6400, 64, 512, 800, 800) == (800, 800)
+
+    # int8 picker: wide dv no longer returns unfittable full-width kv
+    from transparent_object_detection_tpu.ops.attention_int8 import pick_blocks
+
+    blocks = pick_blocks(6400, 256, 1, cv=2048)
+    assert blocks is not None
+    assert 2 * blocks[1] * (256 + 2048) <= (15 * 1024 * 1024 + 512 * 1024)

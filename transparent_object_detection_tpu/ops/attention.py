@@ -425,6 +425,7 @@ def attention_qkv(
         bq_pref, bk_pref = _preferred_blocks(d, block_q, block_k)
         bq = _divisor_block(n, bq_pref)
         bk = _divisor_block(n, bk_pref)
+        bq, bk = _fit_blocks_vmem(n, d, d, bq, bk)
         if (
             (backend_tpu or INTERPRET)
             and bq is not None and bk is not None and d % 128 == 0
@@ -552,6 +553,7 @@ def attention(
         if impl == "pallas":
             bq = _divisor_block(n, block_q)
             bk = _divisor_block(n, block_k)
+            bq, bk = _fit_blocks_vmem(n, d, v.shape[-1] // num_heads, bq, bk)
             if bq is not None and bk is not None and d % 128 == 0:
                 # head axis = grid dim slicing the packed channel axis:
                 # zero transposes in HBM; differentiable via custom VJP
@@ -573,11 +575,12 @@ def attention(
     if impl == "pallas":
         bq = _divisor_block(n, block_q)
         bk = _divisor_block(n, block_k)
+        bq, bk = _fit_blocks_vmem(n, c, v.shape[-1], bq, bk)
         if bq is not None and bk is not None:
             _log_flash_launch(q.shape[0], n, c, v.shape[-1])
             launch = _maybe_shard_map(lambda h: _diff_flash(scale, bq, bk, h), 1)
             return launch(q, k, v)
-        impl = "chunked"  # no MXU-friendly divisor: ragged N falls back
+        impl = "chunked"  # no MXU-friendly divisor / VMEM fit: fall back
 
     if impl == "xla":
         return reference_attention(q, k, v, scale)
@@ -609,6 +612,42 @@ def _preferred_blocks(dv_head: int, block_q: int, block_k: int):
         if block_k == 1024:
             block_k = 3200
     return block_q, block_k
+
+
+def _fit_blocks_vmem(
+    n: int, dq: int, dv: int, bq: Optional[int], bk: Optional[int]
+) -> tuple:
+    """Shrink (bq, bk) until the bf16 flash kernel's working set fits VMEM.
+
+    The default tiles assume head dims <= 512; the phi='l'/'x' backbone
+    SelfAttention carries dv = C = 2048+, where a (1024, 1024) choice puts
+    a 9+ MB double-buffered v tile next to an 8 MB f32 accumulator and
+    Mosaic dies at compile with a scoped-vmem OOM (observed at phi='l':
+    21.09M > 16M). Model: double-buffered q/k/v bf16 tiles + f32 acc +
+    f32 score tile + m/l scratch, against the ~16 MiB v5e VMEM."""
+    def vmem(bq_, bk_):
+        return (
+            2 * bq_ * dq * 2            # q bf16, double-buffered
+            + 2 * bk_ * (dq + dv) * 2   # k + v bf16, double-buffered
+            + 2 * bq_ * dv * 2          # out bf16, double-buffered
+            + bq_ * dv * 4              # f32 accumulator scratch
+            + bq_ * bk_ * 4             # transient f32 score tile
+            + 2 * bq_ * 128 * 4         # m/l scratch
+        )
+
+    # calibrated against a measured 17.58M scoped allocation at
+    # (bq=800, bk=400, dq=256, dv=2048) vs the 16M limit — the model above
+    # gives 19.8M there, so a 14.5M budget keeps ~15% headroom for Mosaic's
+    # vregs/temporaries without disturbing the validated phi='s' configs
+    # (400/3200 d=256 -> 13.3M; 800/800 dq=64/dv=512 -> 8.7M)
+    budget = 14 * 1024 * 1024 + 512 * 1024
+    while bq and bk and vmem(bq, bk) > budget and bk > 128:
+        bk = _divisor_block(n, bk - 8)
+    while bq and bk and vmem(bq, bk) > budget and bq > 128:
+        bq = _divisor_block(n, bq - 8)
+    if bq and bk and vmem(bq, bk) > budget:
+        return None, None  # nothing fits — caller falls back to chunked
+    return bq, bk
 
 
 def _divisor_block(n: int, preferred: int) -> Optional[int]:

@@ -390,9 +390,19 @@ def pick_blocks(
             + 4 * 3 * bq_ * 128                # m/l/qs scratch
             + bq_ * bk_ * 4                    # transient f32 score tile
         )
-    while bq and vmem(bq, bk) > 15 * 1024 * 1024 + 512 * 1024:
+    budget = 15 * 1024 * 1024 + 512 * 1024
+    # Wide head dims (phi='l'/'x' backbone SelfAttention: dv = C = 2048+)
+    # bust the budget through the kv tiles alone — shrinking bq can never
+    # fix that, so narrow the kv block first (full-width kv is a
+    # performance preference, not a requirement; the running-max rescale
+    # returns but the kernel stays correct at any block).
+    while bk and bk > 128 and 2 * bk * (dq + dv) > budget // 2:
+        bk = _block32(n, bk - 32)
+    while bq and bk and vmem(bq, bk) > budget and bq > 32:
         bq = _block32(n, bq - 32)
-    if bq is None or bq < 32:
+    while bq and bk and vmem(bq, bk) > budget and bk > 128:
+        bk = _block32(n, bk - 32)
+    if not bq or not bk or bq < 32 or vmem(bq, bk) > budget:
         return None
     return bq, bk
 
