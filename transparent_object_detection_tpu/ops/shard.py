@@ -47,7 +47,7 @@ def maybe_shard_map(fn, batch_arg_indices=None, n_out: int = 1):
     """
     if _MESH is None:
         return fn
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     batch = P(_AXIS)
@@ -65,7 +65,7 @@ def maybe_shard_map(fn, batch_arg_indices=None, n_out: int = 1):
     def wrapped(*args):
         return shard_map(
             fn, mesh=_MESH, in_specs=specs(len(args)), out_specs=out_specs,
-            check_rep=False,
+            check_vma=False,
         )(*args)
 
     return wrapped
@@ -88,7 +88,7 @@ def maybe_shard_map_attention(make_fn, num_heads: int, model_axis: str = "model"
     """
     if _MESH is None:
         return make_fn(num_heads)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     axis_sizes = dict(zip(_MESH.axis_names, _MESH.devices.shape))
@@ -103,7 +103,7 @@ def maybe_shard_map_attention(make_fn, num_heads: int, model_axis: str = "model"
     def wrapped(q, k, v):
         return shard_map(
             fn, mesh=_MESH, in_specs=(spec, spec, spec), out_specs=spec,
-            check_rep=False,
+            check_vma=False,
         )(q, k, v)
 
     return wrapped
