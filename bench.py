@@ -138,6 +138,18 @@ def main() -> None:
         record["mfu"] = round(imgs_per_sec * sol_per_img, 4)
         # FLOP speed-of-light on this chip for this exact program
         record["ceiling_imgs_per_sec"] = round(1.0 / sol_per_img, 1)
+        # De facto ceiling: sheet peaks are not reachable on these shapes —
+        # raw XLA int8 dot_general with ideal HBM-resident operands measures
+        # 224-333 TOPS (~300 on the dominant TEB mix) and the in-model bf16
+        # convs ~150 TFLOP/s on v5e (calibration tables in docs/ROADMAP.md).
+        # Charging each precision at its MEASURED raw rate gives the
+        # program's realistic composition limit. Override with
+        # BENCH_RAW_BF16_TFLOPS / BENCH_RAW_INT8_TOPS after recalibrating.
+        raw_bf16 = float(os.environ.get("BENCH_RAW_BF16_TFLOPS", "150"))
+        raw_int8 = float(os.environ.get("BENCH_RAW_INT8_TOPS", "300"))
+        sol_raw = tflop_per_img / raw_bf16 + top_per_img / raw_int8
+        record["defacto_ceiling_imgs_per_sec"] = round(1.0 / sol_raw, 1)
+        record["defacto_mfu"] = round(imgs_per_sec * sol_raw, 4)
     # Batch-1 end-to-end latency (the reference's only perf harness is
     # exactly this: predict.py "fps" mode, mean over 100 runs,
     # reference predict.py:154-157). Same serving program at batch 1;

@@ -354,6 +354,111 @@ def test_handoff_chain_close_to_fp32(data):
     assert np.median(rel) < 0.03, np.median(rel)
 
 
+def test_ln_quant_out_matches_reference(data, monkeypatch):
+    """Interpreter-mode kernel with ln_quant_out == the math twin's
+    (value, normalized payload, rsqrt-folded per-row scales) triple."""
+    monkeypatch.setattr(qmm_mod, "INTERPRET", True)
+    x, w, bias, *_ , res = data
+    value, payload, scales = quant_matmul(
+        x, w, bias=bias, residual=res, out_dtype=jnp.float32,
+        ln_quant_out=True,
+    )
+    assert payload.dtype == jnp.int8 and scales.shape == (x.shape[0], 1)
+    wq, ws = quantize_weights(w)
+    ref_v, ref_p, ref_s = _qmm_reference(
+        x, wq, ws, bias, res, ln=False, act=None, residual=True,
+        ln_eps=1e-6, out_dtype=jnp.float32, ln_out=True,
+    )
+    np.testing.assert_allclose(np.asarray(value), np.asarray(ref_v),
+                               rtol=2e-2, atol=2e-2)
+    got = np.asarray(payload, np.float32) * np.asarray(scales)
+    ref = np.asarray(ref_p, np.float32) * np.asarray(ref_s)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_ln_handoff_chain_close_to_fp32(data, monkeypatch):
+    """attn_out(ln_quant_out) -> mlp1(x_quant_normalized, LN folded into
+    weights) == the fp32 residual-add -> LayerNorm -> Dense oracle, within
+    dynamic-int8 tolerance (the LN handoff must not add a noise class)."""
+    monkeypatch.setattr(qmm_mod, "INTERPRET", True)
+    x, w, bias, gamma, beta, res = data
+    value, payload, scales = quant_matmul(
+        x, w, bias=bias, residual=res, out_dtype=jnp.float32,
+        ln_quant_out=True,
+    )
+    w2 = jnp.transpose(w)
+    got = quant_matmul(
+        None, w2, bias=None, ln_scale=gamma[: w.shape[1]],
+        ln_bias=beta[: w.shape[1]], act="gelu", out_dtype=jnp.float32,
+        x_quant=(payload, scales), x_quant_normalized=True,
+    )
+    t = _dense_oracle(x, w, bias, res=res)  # attn_out + residual
+    ref = _dense_oracle(
+        t, w2, jnp.zeros((w2.shape[1],)), gamma[: w.shape[1]],
+        beta[: w.shape[1]], "gelu",
+    )
+    rel_v = np.abs(np.asarray(value) - np.asarray(t)) / (
+        np.abs(np.asarray(t)) + 1e-1
+    )
+    assert np.median(rel_v) < 0.02, np.median(rel_v)
+    denom = np.abs(np.asarray(ref)) + 1e-1
+    rel = np.abs(np.asarray(got) - np.asarray(ref)) / denom
+    assert np.median(rel) < 0.03, np.median(rel)
+
+
+def test_ln_handoff_teb_ab_equivalence(rng, monkeypatch):
+    """The TEB's int8 output with the LN handoff ON vs OFF differs only by
+    one requantization class (both ~= the bf16 branch)."""
+    from transparent_object_detection_tpu.models.blocks import (
+        TransformerEncoderBlock,
+    )
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 256)), jnp.float32)
+    teb = TransformerEncoderBlock(num_heads=2, dtype=jnp.float32,
+                                  int8_dense=True, name="t")
+    v = teb.init(jax.random.key(1), x)
+    monkeypatch.setenv("TOD_LN_HANDOFF", "0")
+    off = teb.apply(v, x)
+    monkeypatch.setenv("TOD_LN_HANDOFF", "1")
+    on = teb.apply(v, x)
+    rel = np.abs(np.asarray(on) - np.asarray(off)) / (
+        np.abs(np.asarray(off)) + 1e-2
+    )
+    assert np.median(rel) < 0.02, np.median(rel)
+
+
+def test_ln_quant_out_partitions_under_data_mesh(rng, _mesh_cleanup):
+    """ln_quant_out producer -> x_quant_normalized consumer under a data
+    mesh: the three producer outputs shard over the batch axis and the chain
+    matches the no-mesh result."""
+    from transparent_object_detection_tpu.ops.shard import set_compute_mesh
+    from transparent_object_detection_tpu.parallel import batch_sharding, make_mesh
+
+    x = jnp.asarray(rng.normal(size=(8, 64, 256)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(256, 256)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(256, 512)) * 0.05, jnp.float32)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.normal(size=(256,)), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.normal(size=(256,)), jnp.float32)
+
+    def chain(xx):
+        t, p, s = quant_matmul(xx, w1, residual=xx, out_dtype=jnp.float32,
+                               ln_quant_out=True)
+        z = quant_matmul(None, w2, ln_scale=gamma, ln_bias=beta, act="gelu",
+                         out_dtype=jnp.float32, x_quant=(p, s),
+                         x_quant_normalized=True)
+        return t, z
+
+    base_t, base_z = chain(x)
+    mesh = make_mesh()
+    set_compute_mesh(mesh)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got_t, got_z = chain(xs)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(base_t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_z), np.asarray(base_z),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pick_layout_prequant_kills_weight_streaming():
     """The production mlp2 shapes: h2 fits weight-resident N-inner tiles;
     the wide-K h1 shape (16.8 MB int8 weights) flips to M-inner so the

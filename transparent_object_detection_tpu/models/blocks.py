@@ -541,6 +541,7 @@ class TransformerEncoderBlock(nn.Module):
             # bf16-trained checkpoints deploy unchanged.
             from transparent_object_detection_tpu.ops.quant_matmul import (
                 dequantize,
+                ln_quant_out_supported,
                 quant_matmul,
             )
 
@@ -550,6 +551,28 @@ class TransformerEncoderBlock(nn.Module):
             ao_w, ao_b = _DenseParams(c, name="attn_out")(c)
             m1_w, m1_b = _DenseParams(c * self.mlp_ratio, name="mlp1")(c)
             m2_w, m2_b = _DenseParams(c, name="mlp2")(c * self.mlp_ratio)
+
+            # LN handoff (attn_out -> mlp1): attn_out's full-width epilogue
+            # additionally emits the LN2-NORMALIZED int8 payload + per-row
+            # scales alongside the bf16 residual stream, and mlp1 ingests it
+            # on the zero-prologue direct path (its LN2 affine folds into its
+            # weights) — mlp1's LN+quantize prologue disappears and its
+            # (tokens, C) input read halves (ops/quant_matmul.py ln_quant_out).
+            ln_handoff = (
+                os.environ.get("TOD_LN_HANDOFF", "1") == "1"
+                and ln_quant_out_supported(b * n, c, c, residual=True)
+            )
+
+            def attn_out_call(o_val, o_quant=None):
+                """attn_out projection + residual; returns (tokens, z_in)
+                where z_in is the LN2-normalized payload for mlp1 (or None)."""
+                kw = dict(bias=ao_b, residual=tokens, out_dtype=self.dtype)
+                if o_quant is not None:
+                    kw.update(x_quant=o_quant)
+                if ln_handoff:
+                    t, p, s = quant_matmul(o_val, ao_w, ln_quant_out=True, **kw)
+                    return t, (p, s)
+                return quant_matmul(o_val, ao_w, **kw), None
 
             # Full int8 handoff through the attention sub-block: the qkv
             # projection emits int8 payload + scales, attention consumes
@@ -593,10 +616,7 @@ class TransformerEncoderBlock(nn.Module):
                     out_dtype=self.dtype,
                 )
             if handoff is not None:
-                tokens = quant_matmul(
-                    None, ao_w, bias=ao_b, residual=tokens,
-                    out_dtype=self.dtype, x_quant=handoff,
-                )
+                tokens, z_in = attn_out_call(None, handoff)
             else:
                 # Output-side attention handoff (separable from the losing
                 # input side above): the int8 flash kernel emits int8 +
@@ -623,10 +643,7 @@ class TransformerEncoderBlock(nn.Module):
                         q, k, v, scale=scale, num_heads=heads
                     )
                 if oq is not None:
-                    tokens = quant_matmul(
-                        None, ao_w, bias=ao_b, residual=tokens,
-                        out_dtype=self.dtype, x_quant=oq,
-                    )
+                    tokens, z_in = attn_out_call(None, oq)
                 else:
                     # packed consumption: the flash kernels read q/k/v out
                     # of the fused projection output in place — jnp.split
@@ -640,18 +657,23 @@ class TransformerEncoderBlock(nn.Module):
                         qkv, scale=scale, impl=self.attention_impl,
                         num_heads=heads, int8=int8_attn,
                     )
-                    tokens = quant_matmul(
-                        o, ao_w, bias=ao_b, residual=tokens, out_dtype=self.dtype
-                    )
+                    tokens, z_in = attn_out_call(o)
             # int8 handoff: mlp1 emits int8 payload + per-(row, group)
             # scales and mlp2 consumes them directly — the (tokens, 4c)
             # gelu intermediate (the largest tensor in the block) never
             # round-trips HBM in bf16, and mlp2's quantize prologue
             # becomes a cheap int8 rescale (ops/quant_matmul.py).
-            z8 = quant_matmul(
-                tokens, m1_w, bias=m1_b, ln_scale=ln2_s, ln_bias=ln2_b,
-                act="gelu", out_dtype=self.dtype, quant_out=True,
-            )
+            if z_in is not None:
+                z8 = quant_matmul(
+                    None, m1_w, bias=m1_b, ln_scale=ln2_s, ln_bias=ln2_b,
+                    act="gelu", out_dtype=self.dtype, quant_out=True,
+                    x_quant=z_in, x_quant_normalized=True,
+                )
+            else:
+                z8 = quant_matmul(
+                    tokens, m1_w, bias=m1_b, ln_scale=ln2_s, ln_bias=ln2_b,
+                    act="gelu", out_dtype=self.dtype, quant_out=True,
+                )
             tokens = quant_matmul(
                 None, m2_w, bias=m2_b, residual=tokens, out_dtype=self.dtype,
                 x_quant=z8,

@@ -80,7 +80,7 @@ def _fold_ln(
 def _qmm_kernel(
     *refs, ln: bool, has_bias: bool, act: Optional[str], residual: bool,
     ln_eps: float, groups: int = 0, quant_out: bool = False,
-    m_inner: bool = False,
+    m_inner: bool = False, ln_out: bool = False,
 ):
     """One (m-tile, n-tile) grid step.
 
@@ -105,9 +105,17 @@ def _qmm_kernel(
     scale stores — the consumer reads half the bytes and skips its
     quantize prologue (see quant_matmul docstring).
 
+    `ln_out` keeps the bf16 store AND adds an LN-normalized int8 payload +
+    per-row scale (rsqrt folded in, same algebra as the input prologue) —
+    the attn_out -> mlp1 handoff: the residual stream continues in bf16
+    while mlp1 ingests the normalized payload directly (its LN affine folds
+    into its weights). Requires a full-width tile (bn == n): the LN row
+    statistics need the whole channel axis in VMEM.
+
     Ref order: x, [x_scales], w, w_scale, [bias], [residual], out,
-    [out_scales], [xq_scratch, xs_scratch].
+    [out_scales | ln_payload, ln_scales], [xq_scratch, xs_scratch].
     """
+    assert not (quant_out and ln_out)
     it = iter(refs)
     x_ref = next(it)
     pxs_ref = next(it) if groups >= 1 else None
@@ -117,6 +125,8 @@ def _qmm_kernel(
     r_ref = next(it) if residual else None
     o_ref = next(it)
     os_ref = next(it) if quant_out else None
+    p_ref = next(it) if ln_out else None
+    ps_ref = next(it) if ln_out else None
     direct = groups == 1  # int8 x used as-is, no scratch allocated
     xq_scr = next(it) if not direct else None
     xs_scr = next(it) if not direct else None
@@ -211,6 +221,18 @@ def _qmm_kernel(
             os_ref[...] = jnp.where(col == n_idx, sval, os_ref[...])
         o_ref[...] = jnp.round(out * (127.0 / amax)).astype(jnp.int8)
     else:
+        if ln_out:
+            # full-width tile (bn == n): LN row stats are exact in-tile
+            mu = jnp.mean(out, axis=1, keepdims=True)
+            m2 = jnp.mean(out * out, axis=1, keepdims=True)
+            d = out - mu
+            var = jnp.maximum(m2 - mu * mu, 0.0)
+            rstd = jax.lax.rsqrt(var + ln_eps)
+            amax = jnp.maximum(
+                jnp.max(jnp.abs(d), axis=1, keepdims=True), 1e-12
+            )
+            p_ref[...] = jnp.round(d * (127.0 / amax)).astype(jnp.int8)
+            ps_ref[...] = amax * (1.0 / 127.0) * rstd
         o_ref[...] = out.astype(o_ref.dtype)
 
 
@@ -218,6 +240,7 @@ def _pick_blocks(
     m: int, k: int, n: int, residual: bool = True,
     x_bytes: int = 2, out_bytes: int = 2,
     align: Optional[Tuple[int, int]] = None,
+    full_width_only: bool = False,
 ) -> Optional[Tuple[int, int]]:
     """(bm, bn) fitting VMEM, MXU-aligned and dividing (m, n).
 
@@ -273,6 +296,8 @@ def _pick_blocks(
     for bm in resident_bms:
         if m % bm == 0 and vmem(bm, n) <= budget:
             return bm, n
+    if full_width_only:  # ln_out needs the whole row in-tile; no fallback
+        return None
     # Measured on v5e (204800-row TEB shapes): narrow projections with few
     # wide-bn steps per m-tile are prologue-bound — tall m-tiles win (the
     # square 1536x1536 attn_out: 7.9 -> 6.9 ms at (1024, 256)). Everything
@@ -354,6 +379,23 @@ def _pick_layout_prequant(
     if best is None:
         return None
     return best[1], best[2], best[3]
+
+
+def ln_quant_out_supported(m: int, k: int, n: int, residual: bool = True) -> bool:
+    """True when a `ln_quant_out=True` call on these dims would run the fused
+    kernel (full-width weight-resident tiles). On non-Pallas backends the
+    reference twin computes the triple anyway (test paths), so this gate only
+    matters on TPU — callers should keep the plain bf16->fused-LN route when
+    it returns False there, since the twin's epilogue is an extra XLA pass."""
+    import jax as _jax
+
+    if not (_jax.default_backend() in ("tpu", "axon") or INTERPRET):
+        return True
+    if k % 128 or n % 256:
+        return True  # dispatch falls back to the twin for the whole call
+    return _pick_blocks(
+        m, k, n, residual=residual, out_bytes=3, full_width_only=True
+    ) is not None
 
 
 def _quant_rows_kernel(x_ref, xq_ref, xs_ref, *, ln: bool, ln_eps: float):
@@ -438,13 +480,13 @@ def _pquant_call(x2d, wq, w_scale, bias, *, out_dtype, ln, act, ln_eps):
     jax.jit,
     static_argnames=(
         "out_dtype", "bm", "bn", "ln", "act", "residual", "ln_eps",
-        "groups", "quant_out", "m_inner",
+        "groups", "quant_out", "m_inner", "ln_out",
     ),
 )
 def _qmm_call(
     x2d, xs2d, wq, w_scale, bias, res2d, *,
     out_dtype, bm, bn, ln, act, residual, ln_eps,
-    groups=0, quant_out=False, m_inner=False,
+    groups=0, quant_out=False, m_inner=False, ln_out=False,
 ):
     m, k = x2d.shape
     n = wq.shape[1]
@@ -497,6 +539,18 @@ def _qmm_call(
             jax.ShapeDtypeStruct((m, n), jnp.int8),
             jax.ShapeDtypeStruct((m, n // bn), jnp.float32),
         ]
+    elif ln_out:
+        assert bn == n, "ln_out needs full-width tiles (LN row stats)"
+        out_specs = [
+            pl.BlockSpec((bm, bn), at_mn),
+            pl.BlockSpec((bm, bn), at_mn),
+            pl.BlockSpec((bm, 1), at_m),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((m, n), out_dtype),
+            jax.ShapeDtypeStruct((m, n), jnp.int8),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ]
     else:
         out_specs = pl.BlockSpec((bm, bn), at_mn)
         out_shape = jax.ShapeDtypeStruct((m, n), out_dtype)
@@ -514,7 +568,7 @@ def _qmm_call(
         functools.partial(
             _qmm_kernel, ln=ln, has_bias=has_bias, act=act, residual=residual,
             ln_eps=ln_eps, groups=groups, quant_out=quant_out,
-            m_inner=m_inner,
+            m_inner=m_inner, ln_out=ln_out,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -545,7 +599,7 @@ def dequantize(payload: Array, scales: Array, dtype=jnp.bfloat16) -> Array:
 
 def _qmm_reference(x, wq, w_scale, bias, res, *,
                    ln, act, residual, ln_eps, out_dtype,
-                   x_scales=None, quant_out_group=None):
+                   x_scales=None, quant_out_group=None, ln_out=False):
     """Pure-JAX twin of the kernel math (CPU fallback + oracle for tests).
 
     Takes the already-folded weights (wq/w_scale/bias from _fold_ln +
@@ -553,7 +607,9 @@ def _qmm_reference(x, wq, w_scale, bias, res, *,
     `x_scales` (the int8-handoff consumer), x is an int8 payload with
     per-(row, k-group) scales and the twin mirrors the kernel's
     requantize-onto-rowmax prologue. With `quant_out_group`, returns
-    (int8 payload, per-(row, n-group) f32 scales) instead of the value."""
+    (int8 payload, per-(row, n-group) f32 scales) instead of the value.
+    With `ln_out`, returns (value, LN-normalized int8 payload, per-row
+    scales with rsqrt folded in) — the kernel's ln_out epilogue."""
     if x_scales is not None:
         groups = x_scales.shape[-1]
         if groups == 1:
@@ -606,12 +662,24 @@ def _qmm_reference(x, wq, w_scale, bias, res, *,
             payload.reshape(*out.shape[:-1], n),
             (amax_o[..., 0] * (1.0 / 127.0)).astype(jnp.float32),
         )
+    if ln_out:
+        mu = jnp.mean(out, axis=-1, keepdims=True)
+        m2o = jnp.mean(out * out, axis=-1, keepdims=True)
+        d = out - mu
+        var = jnp.maximum(m2o - mu * mu, 0.0)
+        rstd = jax.lax.rsqrt(var + ln_eps)
+        amax_o = jnp.maximum(jnp.max(jnp.abs(d), axis=-1, keepdims=True), 1e-12)
+        return (
+            out.astype(out_dtype),
+            jnp.round(d * (127.0 / amax_o)).astype(jnp.int8),
+            (amax_o * (1.0 / 127.0) * rstd).astype(jnp.float32),
+        )
     return out.astype(out_dtype)
 
 
 def _qmm_dispatch(x, wq, w_scale, bias, residual, *, ln, act, ln_eps,
                   out_dtype, x_scales=None, quant_out=False,
-                  quant_out_align=None):
+                  quant_out_align=None, ln_out=False):
     """Pallas-or-fallback on whatever shapes it receives (global, or the
     per-shard local shapes inside shard_map)."""
     k, n = wq.shape
@@ -638,14 +706,17 @@ def _qmm_dispatch(x, wq, w_scale, bias, residual, *, ln, act, ln_eps,
             _pick_layout_prequant(m, k, n, groups, residual is not None)
             if use_pallas else None
         )
+        if ln_out and layout is not None and (layout[0] or layout[2] != n):
+            layout = None  # ln_out needs the N-inner full-width layout
         blocks = None if layout is None else layout[1:]
         m_inner = False if layout is None else layout[0]
     else:
         blocks = (
             _pick_blocks(
                 m, k, n, residual=residual is not None,
-                out_bytes=1 if quant_out else 2,
+                out_bytes=1 if quant_out else (3 if ln_out else 2),
                 align=quant_out_align if quant_out else None,
+                full_width_only=ln_out,
             )
             if use_pallas else None
         )
@@ -657,6 +728,7 @@ def _qmm_dispatch(x, wq, w_scale, bias, residual, *, ln, act, ln_eps,
             out_dtype=out_dtype,
             x_scales=x_scales,
             quant_out_group=n if quant_out else None,
+            ln_out=ln_out,
         )
     bm, bn = blocks
 
@@ -684,12 +756,20 @@ def _qmm_dispatch(x, wq, w_scale, bias, residual, *, ln, act, ln_eps,
         out_dtype=out_dtype, bm=bm, bn=bn, ln=ln, act=act,
         residual=residual is not None, ln_eps=ln_eps,
         groups=groups, quant_out=quant_out, m_inner=m_inner,
+        ln_out=ln_out,
     )
     if quant_out:
         payload, scales = out
         return (
             payload.reshape(*x.shape[:-1], n),
             scales.reshape(*x.shape[:-1], n // bn),
+        )
+    if ln_out:
+        value, payload, scales = out
+        return (
+            value.reshape(*x.shape[:-1], n),
+            payload.reshape(*x.shape[:-1], n),
+            scales.reshape(*x.shape[:-1], 1),
         )
     return out.reshape(*x.shape[:-1], n)
 
@@ -707,6 +787,8 @@ def quant_matmul(
     quant_out: bool = False,
     quant_out_align: Optional[Tuple[int, int]] = None,
     x_quant: Optional[Tuple[Array, Array]] = None,
+    x_quant_normalized: bool = False,
+    ln_quant_out: bool = False,
 ):
     """[LayerNorm ->] dynamic-int8-quant -> int8 matmul -> [bias/gelu/residual].
 
@@ -728,19 +810,41 @@ def quant_matmul(
         magnitude as the bf16 path's own per-row quantize, so the handoff
         does not change the quantization-noise class (e2e drift stays 0).
 
+    LN HANDOFF one link earlier (attn_out -> mlp1 in the TEB):
+
+      * `ln_quant_out=True`: returns (bf16 value, int8 payload (..., N),
+        f32 scales (..., 1)) — the value is the usual epilogue output (the
+        residual stream, which mlp2 still needs), and payload*scales is
+        LayerNorm-NORMALIZED value rows (rsqrt folded into the per-row
+        scale, affine NOT applied). ln_eps is the output-LN epsilon here.
+        Needs full-width (bn == N) tiles; check ln_quant_out_supported
+        first on TPU — the fallback twin costs an extra XLA pass.
+      * consumer: pass `x_quant=(payload, scales), x_quant_normalized=True`
+        TOGETHER WITH ln_scale/ln_bias — the affine folds into the weights
+        exactly as the fused path does, and the kernel runs the zero-
+        prologue direct int8 dot (its LN already happened in the producer).
+
     Under a registered compute mesh (ops/shard.py) with a batched input, the
     whole dispatch is wrapped in shard_map over the data axis — GSPMD cannot
     partition a pallas_call, so without this the int8 serving path would not
     run data-parallel. Block picking then sees the per-shard local M.
     """
     ln = ln_scale is not None
+    assert not (quant_out and ln_quant_out)
     if x_quant is not None:
-        assert x is None and not ln, "x_quant is exclusive with x / LN"
+        assert x is None, "x_quant is exclusive with x"
+        assert ln == x_quant_normalized, (
+            "x_quant + LN params requires x_quant_normalized=True (the "
+            "payload must be a producer's ln_quant_out); a raw payload "
+            "cannot be LayerNormed in-kernel"
+        )
         x, x_scales = x_quant
     else:
         x_scales = None
     if ln:
         w, bias = _fold_ln(w, bias, ln_scale, ln_bias)
+        if x_quant_normalized:
+            ln = False  # producer already normalized; affine now in weights
     wq, w_scale = quantize_weights(w)
 
     from transparent_object_detection_tpu.ops.shard import (
@@ -770,7 +874,7 @@ def quant_matmul(
                 x_l, wq_l, ws_l, b_l, r_l,
                 ln=ln, act=act, ln_eps=ln_eps, out_dtype=out_dtype,
                 x_scales=xs_l, quant_out=quant_out,
-                quant_out_align=quant_out_align,
+                quant_out_align=quant_out_align, ln_out=ln_quant_out,
             )
 
         operands = [x]
@@ -786,12 +890,12 @@ def quant_matmul(
             operands.append(residual)
         return maybe_shard_map(
             local_fn, batch_arg_indices=batch_idx,
-            n_out=2 if quant_out else 1,
+            n_out=2 if quant_out else (3 if ln_quant_out else 1),
         )(*operands)
 
     return _qmm_dispatch(
         x, wq, w_scale, bias, residual,
         ln=ln, act=act, ln_eps=ln_eps, out_dtype=out_dtype,
         x_scales=x_scales, quant_out=quant_out,
-        quant_out_align=quant_out_align,
+        quant_out_align=quant_out_align, ln_out=ln_quant_out,
     )
