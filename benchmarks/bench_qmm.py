@@ -133,6 +133,41 @@ def main():
                     )
                 )
                 t = timed(f, x, w, iters=iters)
+        elif mode == "lnhandoff":
+            # The r3 LN handoff pair: *.ao shapes time the ln_quant_out
+            # PRODUCER (value + normalized payload + scales epilogue);
+            # *.mlp1 shapes time the zero-prologue direct CONSUMER
+            # (x_quant_normalized, LN affine folded into weights, quant_out
+            # for the mlp2 link). Timed against 'base' these isolate what
+            # the handoff buys per shape.
+            if residual and not ln:  # attn_out: producer side
+                f = jax.jit(
+                    lambda x, w, r: quant_matmul(
+                        x, w, bias=bias, residual=r, ln_quant_out=True
+                    )[1]
+                )
+                t = timed(f, x, w, res, iters=iters)
+            elif ln and act:  # mlp1: consumer side
+                xf = x.astype(jnp.float32)
+                mu = xf.mean(axis=1, keepdims=True)
+                d = xf - mu
+                amax = jnp.maximum(jnp.abs(d).max(axis=1, keepdims=True), 1e-12)
+                rstd = jax.lax.rsqrt(
+                    jnp.maximum((xf * xf).mean(axis=1, keepdims=True) - mu * mu, 0.0)
+                    + 1e-6
+                )
+                payload = jnp.round(d * (127.0 / amax)).astype(jnp.int8)
+                scales = (amax / 127.0 * rstd).astype(jnp.float32)
+                f = jax.jit(
+                    lambda p, s, w: quant_matmul(
+                        None, w, bias=bias, ln_scale=ln_s, ln_bias=ln_b,
+                        act=act, x_quant=(p, s), x_quant_normalized=True,
+                        quant_out=True,
+                    )[0]
+                )
+                t = timed(f, payload, scales, w, iters=iters)
+            else:
+                continue
         elif mode in ("dot", "dotraw"):
             blocks = _pick_blocks(m, k, n)
             assert blocks, (tag, m, k, n)
