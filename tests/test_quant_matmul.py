@@ -417,10 +417,27 @@ def test_ln_handoff_teb_ab_equivalence(rng, monkeypatch):
     teb = TransformerEncoderBlock(num_heads=2, dtype=jnp.float32,
                                   int8_dense=True, name="t")
     v = teb.init(jax.random.key(1), x)
+    # spy on quant_matmul to prove the handoff route actually engages (in
+    # fp32 both routes compute IDENTICAL math — the producer normalizes the
+    # same f32 rows mlp1's prologue would — so outputs alone can't tell)
+    calls = []
+    real_qmm = qmm_mod.quant_matmul
+
+    def spy(*a, **k):
+        calls.append({f: k.get(f, False) for f in
+                      ("ln_quant_out", "x_quant_normalized")})
+        return real_qmm(*a, **k)
+
+    monkeypatch.setattr(qmm_mod, "quant_matmul", spy)
+    monkeypatch.setenv("TOD_LN_HANDOFF_MIN_ROWS", "0")  # tiny test shapes
     monkeypatch.setenv("TOD_LN_HANDOFF", "0")
     off = teb.apply(v, x)
+    assert not any(c["ln_quant_out"] for c in calls)
+    calls.clear()
     monkeypatch.setenv("TOD_LN_HANDOFF", "1")
     on = teb.apply(v, x)
+    assert any(c["ln_quant_out"] for c in calls)
+    assert any(c["x_quant_normalized"] for c in calls)
     rel = np.abs(np.asarray(on) - np.asarray(off)) / (
         np.abs(np.asarray(off)) + 1e-2
     )

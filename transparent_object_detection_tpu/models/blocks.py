@@ -558,8 +558,14 @@ class TransformerEncoderBlock(nn.Module):
             # on the zero-prologue direct path (its LN2 affine folds into its
             # weights) — mlp1's LN+quantize prologue disappears and its
             # (tokens, C) input read halves (ops/quant_matmul.py ln_quant_out).
+            # Row floor: at few rows the ln_out epilogue (LN stats + double
+            # store per m-tile) doesn't amortize — batch-1 640² serving
+            # (6,400 rows) measured 51.9 ms vs 48.0 without the handoff,
+            # while batch-32 (204,800 rows) measured the handoff +0.7 imgs/s.
+            min_rows = int(os.environ.get("TOD_LN_HANDOFF_MIN_ROWS", "51200"))
             ln_handoff = (
                 os.environ.get("TOD_LN_HANDOFF", "1") == "1"
+                and b * n >= min_rows
                 and ln_quant_out_supported(b * n, c, c, residual=True)
             )
 
