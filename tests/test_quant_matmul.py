@@ -444,6 +444,44 @@ def test_ln_handoff_teb_ab_equivalence(rng, monkeypatch):
     assert np.median(rel) < 0.02, np.median(rel)
 
 
+def test_ln_quant_out_with_x_quant_input(data, monkeypatch):
+    """ln_quant_out on a consumer that ITSELF takes an x_quant payload (the
+    env-gated attention-handoff attn_out variant): kernel == twin."""
+    monkeypatch.setattr(qmm_mod, "INTERPRET", True)
+    x, w, bias, *_ , res = data
+    payload, scales = _group_quantize(x, 1)
+    got_v, got_p, got_s = quant_matmul(
+        None, w, bias=bias, residual=res, out_dtype=jnp.float32,
+        x_quant=(payload, scales), ln_quant_out=True,
+    )
+    wq, ws = quantize_weights(w)
+    ref_v, ref_p, ref_s = _qmm_reference(
+        payload, wq, ws, bias, res, ln=False, act=None, residual=True,
+        ln_eps=1e-6, out_dtype=jnp.float32, x_scales=scales, ln_out=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v),
+                               rtol=2e-2, atol=2e-2)
+    got = np.asarray(got_p, np.float32) * np.asarray(got_s)
+    ref = np.asarray(ref_p, np.float32) * np.asarray(ref_s)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_ln_quant_out_split_shapes_still_return_triple():
+    """A qkv-like shape that would route to the split path must NOT swallow
+    ln_quant_out (the split path returns a single array)."""
+    import numpy as np2
+
+    rng = np2.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(512, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 768)) * 0.05, jnp.float32)
+    g = jnp.ones((256,), jnp.float32)
+    b = jnp.zeros((256,), jnp.float32)
+    out = quant_matmul(x, w, ln_scale=g, ln_bias=b, out_dtype=jnp.float32,
+                       ln_quant_out=True)
+    assert isinstance(out, tuple) and len(out) == 3
+    assert out[1].dtype == jnp.int8
+
+
 def test_ln_quant_out_partitions_under_data_mesh(rng, _mesh_cleanup):
     """ln_quant_out producer -> x_quant_normalized consumer under a data
     mesh: the three producer outputs shard over the batch axis and the chain

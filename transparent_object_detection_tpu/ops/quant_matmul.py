@@ -734,7 +734,10 @@ def _qmm_dispatch(x, wq, w_scale, bias, residual, *, ln, act, ln_eps,
 
     from transparent_object_detection_tpu.ops.attention import log_custom_flops
 
-    if groups == 0 and not quant_out and _prefer_split(m, k, n, ln, act, residual):
+    if (
+        groups == 0 and not quant_out and not ln_out
+        and _prefer_split(m, k, n, ln, act, residual)
+    ):
         # Split path: the int8 dot is a plain XLA dot_general, so XLA's
         # cost analysis already counts its 2mkn as (bf16-rate) flops —
         # log a negative bf16 correction and the same work as int8 so
