@@ -311,3 +311,27 @@ def test_loader_shards_feed_mesh(fake_dataset):
     np.testing.assert_allclose(
         float(total), float(global_batch["image"].sum()), rtol=1e-5
     )
+
+
+def test_process_pool_loader_matches_threaded(fake_dataset):
+    """use_processes=True (the multi-core feed path for pod-scale serving,
+    docs/ROADMAP.md host-feed requirement) yields bit-identical batches to
+    the threaded loader: per-sample RNG is keyed on (seed, epoch, index),
+    and the uint8 IPC re-pack is lossless (pixels are exact k/255)."""
+    ds = DetectionDataset(
+        fake_dataset * 4, input_shape=(64, 64), train=True, max_boxes=16,
+        epoch_length=10,
+    )
+    dl_t = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=5)
+    dl_p = DataLoader(
+        ds, batch_size=4, shuffle=True, num_workers=2, seed=5, use_processes=True
+    )
+    for epoch in (0, 1):
+        dl_t.set_epoch(epoch)
+        ref = list(dl_t)
+        dl_p.set_epoch(epoch)
+        got = list(dl_p)
+        assert len(ref) == len(got) == 2
+        for rb, gb in zip(ref, got):
+            for key in rb:
+                np.testing.assert_array_equal(rb[key], gb[key])

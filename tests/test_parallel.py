@@ -117,3 +117,122 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# mesh-state cross-interactions (VERDICT r3 weak #4): the trace-time mesh
+# registry vs Predictors/EvalCallback built at different times
+# ---------------------------------------------------------------------------
+
+
+def _predict_setup():
+    from transparent_object_detection_tpu.config import PredictConfig
+
+    mc = ModelConfig(num_classes=1, input_shape=(64, 64), compute_dtype="float32")
+    model = tiny_model()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    pc = PredictConfig(confidence=0.01, max_detections=8, pre_nms_topk=32)
+    return mc, model, variables, pc
+
+
+def test_two_predictors_different_meshes_one_process():
+    """Each Predictor re-latches ITS mesh before every call, so interleaved
+    use of two mesh-bound Predictors stays correct (previously the registry
+    kept whichever mesh was registered last and later traces baked it)."""
+    from transparent_object_detection_tpu.inference import Predictor
+    from transparent_object_detection_tpu.ops.shard import set_compute_mesh
+
+    mc, model, variables, pc = _predict_setup()
+    rng = np.random.default_rng(0)
+    imgs8 = jnp.asarray(rng.uniform(size=(8, 64, 64, 3)), jnp.float32)
+    shp = lambda b: jnp.tile(jnp.asarray([[64.0, 64.0]], jnp.float32), (b, 1))
+
+    ref = Predictor(model, variables, mc, pc).detect_letterboxed(imgs8, shp(8))
+
+    mesh4 = make_mesh(jax.devices()[:4])
+    mesh8 = make_mesh(jax.devices())
+    try:
+        p4 = Predictor(model, variables, mc, pc, mesh=mesh4)
+        p8 = Predictor(model, variables, mc, pc, mesh=mesh8)  # registry now mesh8
+        # p4's FIRST trace happens here, after mesh8 was registered — the
+        # per-call re-latch must restore mesh4
+        d4 = p4.detect_letterboxed(imgs8, shp(8))
+        d8 = p8.detect_letterboxed(imgs8, shp(8))
+        d4b = p4.detect_letterboxed(imgs8, shp(8))  # and back again
+    finally:
+        set_compute_mesh(None)
+
+    for d in (d4, d8, d4b):
+        np.testing.assert_array_equal(
+            np.asarray(ref["num_detections"]), np.asarray(d["num_detections"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref["boxes"]), np.asarray(d["boxes"]), atol=1e-4
+        )
+
+
+def test_mesh_predictor_rejects_indivisible_batch():
+    from transparent_object_detection_tpu.inference import Predictor
+    from transparent_object_detection_tpu.ops.shard import set_compute_mesh
+
+    mc, model, variables, pc = _predict_setup()
+    mesh = make_mesh(jax.devices())
+    try:
+        p = Predictor(model, variables, mc, pc, mesh=mesh)
+        imgs3 = jnp.zeros((3, 64, 64, 3), jnp.float32)
+        with pytest.raises(ValueError, match="data_shards"):
+            p.detect_letterboxed(imgs3, jnp.ones((3, 2), jnp.float32))
+    finally:
+        set_compute_mesh(None)
+
+
+def test_trainer_fit_with_evalcallback_under_mesh(tmp_path):
+    """The tools/train.py --data-parallel path end-to-end: Trainer.fit with a
+    sharded batch + a periodic EvalCallback whose batch size does NOT divide
+    the mesh — the callback's Predictor must adopt the registered mesh and
+    pad its eval batch up to the data-axis size, not crash."""
+    from PIL import Image
+
+    from transparent_object_detection_tpu.eval.callbacks import EvalCallback
+    from transparent_object_detection_tpu.ops.attention import set_attention_mesh
+    from transparent_object_detection_tpu.parallel import batch_sharding
+    from transparent_object_detection_tpu.train.trainer import Trainer
+
+    root = tmp_path / "ds"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(8):
+        arr = rng.integers(0, 255, size=(80, 96, 3), dtype=np.uint8)
+        arr[20:60, 30:70] = (255, 0, 0)
+        p = str(root / f"t{i}.png")
+        Image.fromarray(arr).save(p)
+        lines.append(f"{p} 30,20,70,60,0")
+
+    mc = ModelConfig(num_classes=1, input_shape=(64, 64), compute_dtype="float32")
+    tc = TrainConfig(
+        init_epoch=0, freeze_epoch=0, unfreeze_epoch=1, freeze_train=False,
+        unfreeze_batch_size=8, num_workers=2, mosaic=False, mixup=False,
+        max_boxes=8, optimizer_type="sgd", save_dir=str(tmp_path / "logs"),
+        eval_period=1,
+    )
+    model = tiny_model()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=True)
+    trainer = Trainer(mc, tc, model=model, variables=variables)
+
+    mesh = make_mesh(jax.devices())
+    set_attention_mesh(mesh)  # what tools/train.py --data-parallel does
+    try:
+        cb = EvalCallback(
+            mc, lines, ["Transparent"], str(tmp_path / "logs"),
+            period=1, eval_flag=True, batch_size=5,  # 5 % 8 != 0
+        )
+        history = trainer.fit(lines, lines, callbacks=[cb],
+                              sharding=batch_sharding(mesh))
+        assert len(history) == 1
+        assert np.isfinite(history[0]["loss"])
+        assert "map50" in history[0]
+        # the callback's predictor adopted the training mesh and padded
+        assert cb._predictor.data_shards == 8
+    finally:
+        set_attention_mesh(None)

@@ -548,3 +548,69 @@ def test_handoff_chain_partitions_under_data_mesh(rng, _mesh_cleanup):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(base), rtol=1e-5, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------- w4a4
+
+
+def test_w4a4_twin_close_to_fp32(data):
+    """quant_matmul_w4a4 (CPU twin: int8 containers holding [-7,7] values,
+    identical accumulation math to the TPU i4 x i4 program) tracks the fp32
+    LN+Dense+gelu oracle within 4-bit quantization error. Per-element error
+    is necessarily coarser than int8 (~2x the levels removed); whether it
+    MATTERS is measured end-to-end by the hard-set drift gate
+    (E2E_HARD=1 benchmarks/validate_e2e.py), not by this tolerance."""
+    from transparent_object_detection_tpu.ops.quant_matmul import quant_matmul_w4a4
+
+    x, w, bias, gamma, beta, _ = data
+    got = quant_matmul_w4a4(
+        x, w, bias=bias, ln_scale=gamma, ln_bias=beta, act="gelu",
+        out_dtype=jnp.float32,
+    )
+    ref = _dense_oracle(x, w, bias, gamma, beta, "gelu")
+    rel = np.abs(np.asarray(got) - np.asarray(ref)) / (
+        np.abs(np.asarray(ref)) + 1e-2
+    )
+    assert np.median(rel) < 0.2
+    assert rel.mean() < 0.5
+
+
+def test_w4a4_quant_out_feeds_mlp2_x_quant(data):
+    """The w4a4 mlp1 handoff contract: quant_out emits (int8 payload,
+    per-row scales) that quant_matmul's x_quant consumer (groups=1 direct
+    path — the mlp2 shape class) ingests, matching the fp32 two-layer
+    chain within combined quantization error."""
+    from transparent_object_detection_tpu.ops.quant_matmul import quant_matmul_w4a4
+
+    x, w, bias, gamma, beta, _ = data
+    k = x.shape[-1]
+    n = w.shape[-1]
+    w2 = jnp.asarray(
+        np.random.default_rng(7).normal(size=(n, k)) * 0.05, jnp.float32
+    )
+    z8 = quant_matmul_w4a4(
+        x, w, bias=bias, ln_scale=gamma, ln_bias=beta, act="gelu",
+        quant_out=True,
+    )
+    assert z8[0].dtype == jnp.int8 and z8[1].shape == (x.shape[0], 1)
+    got = quant_matmul(None, w2, x_quant=z8, out_dtype=jnp.float32)
+    ref = _dense_oracle(x, w, bias, gamma, beta, "gelu") @ w2
+    rel = np.abs(np.asarray(got) - np.asarray(ref)) / (
+        np.abs(np.asarray(ref)) + 1e-2
+    )
+    assert np.median(rel) < 0.2
+
+
+def test_w4a4_batched_and_no_ln(data):
+    """(B, N, K) inputs flatten/unflatten; the no-LN path quantizes raw x."""
+    from transparent_object_detection_tpu.ops.quant_matmul import quant_matmul_w4a4
+
+    x, w, bias, *_ = data
+    x3 = x.reshape(2, 128, -1)
+    out = quant_matmul_w4a4(x3, w, bias=bias, out_dtype=jnp.float32)
+    assert out.shape == (2, 128, w.shape[-1])
+    ref = _dense_oracle(x, w, bias)
+    rel = np.abs(np.asarray(out).reshape(ref.shape) - np.asarray(ref)) / (
+        np.abs(np.asarray(ref)) + 1e-2
+    )
+    assert np.median(rel) < 0.2

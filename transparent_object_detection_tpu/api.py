@@ -219,17 +219,23 @@ class FOCUS:
             )
         return self._predictor
 
-    def serve_mesh(self, devices=None, axis_name: str = "data"):
-        """Switch serving to data-parallel over a device mesh.
+    def serve_mesh(self, devices=None, axis_name: str = "data", tp: int = 1):
+        """Switch serving to a device mesh.
 
-        Builds a 1-D 'data' mesh over all (or the given) devices, registers
-        it as the compute mesh so every Pallas serving kernel (flash/int8
-        attention, fused int8 matmul) runs under shard_map, and rebuilds the
-        predictor with replicated weights + batch-sharded inputs. Batch
-        sizes passed to detect_* must divide the mesh size. Aggregate
-        throughput scales as chips x per-chip (the serving path has no
-        cross-image communication); the reference has no multi-device
-        serving at all (reference predict.py:16-189).
+        tp=1 (default): a 1-D 'data' mesh over all (or the given) devices —
+        pure data parallelism. Registers it as the compute mesh so every
+        Pallas serving kernel (flash/int8 attention, fused int8 matmul) runs
+        under shard_map, and rebuilds the predictor with replicated weights
+        + batch-sharded inputs. Aggregate throughput scales as chips x
+        per-chip (the serving path has no cross-image communication); the
+        reference has no multi-device serving at all (predict.py:16-189).
+
+        tp>1: a 2-D ('data', 'model') mesh with a tp-way model axis — the
+        neck TEBs run Megatron tensor-parallel (ops/teb_tp.py) with their
+        weights stored sharded, cutting per-chip weight + TEB-activation
+        HBM by ~1/tp. This is how phi='l'/'x' (whose 640² serving footprint
+        exceeds one chip) run at all; see docs/ROADMAP.md for the HBM
+        budget. Batch sizes must divide the data-axis size (devices / tp).
 
         Returns the mesh-aware Predictor.
         """
@@ -237,10 +243,13 @@ class FOCUS:
 
         from transparent_object_detection_tpu.inference import Predictor
         from transparent_object_detection_tpu.parallel.mesh import make_mesh
+        from transparent_object_detection_tpu.parallel.tp import make_2d_mesh
 
-        mesh = make_mesh(
-            devices if devices is not None else _jax.devices(), axis_name
-        )
+        devices = devices if devices is not None else _jax.devices()
+        if tp > 1:
+            mesh = make_2d_mesh(tp, devices)
+        else:
+            mesh = make_mesh(devices, axis_name)
         self._predictor = Predictor(
             self.model, self.variables, self.model_cfg, self.predict_cfg,
             mesh=mesh,

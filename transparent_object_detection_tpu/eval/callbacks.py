@@ -193,7 +193,12 @@ class EvalCallback:
         dets_all: List[np.ndarray] = []
         gts_all: List[np.ndarray] = []
 
-        bs = self.batch_size
+        # Under a registered compute mesh (tools/train.py --data-parallel:
+        # this callback's Predictor adopts the training mesh) the compiled
+        # batch must divide the data axis — round the batch size UP to the
+        # next multiple; the existing tail-padding below absorbs the slack.
+        n_shards = predictor.data_shards
+        bs = -(-self.batch_size // n_shards) * n_shards
         for start in range(0, len(self.val_lines), bs):
             chunk = self.val_lines[start : start + bs]
             images, shapes, gts = [], [], []

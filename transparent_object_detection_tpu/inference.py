@@ -112,14 +112,33 @@ class Predictor:
         """mesh: an optional jax.sharding.Mesh with a 'data' axis. When given,
         the Predictor registers it as the compute mesh (so the Pallas serving
         kernels — flash/int8 attention and the fused int8 matmul — run under
-        shard_map; GSPMD cannot partition them), replicates the weights, and
-        shards every input batch over the data axis. Batch sizes must divide
-        the mesh size. The reference has no multi-device serving at all
-        (reference predict.py:16-189)."""
+        shard_map; GSPMD cannot partition them), and shards every input batch
+        over the data axis. Batch sizes must divide the data-axis size. The
+        reference has no multi-device serving at all (predict.py:16-189).
+
+        A 2-D ('data', 'model') mesh (parallel.tp.make_2d_mesh) additionally
+        enables TENSOR-PARALLEL serving: the neck TEB projections run
+        Megatron column/row-parallel over the model axis (ops/teb_tp.py),
+        with the TEB weights stored SHARDED (parallel/tp.py specs) and the
+        qkv columns TP-canonicalized — per-chip weight and TEB-activation
+        footprints drop by ~1/tp, which is what lets phi='l'/'x' (>1-chip
+        HBM at 640²) serve at all. Everything outside the TEBs stays
+        data-parallel with replicated weights."""
         self.model = model
         self.model_cfg = model_cfg
         self.predict_cfg = predict_cfg or PredictConfig()
         self.mesh = mesh
+        # Mesh binding is PER-PREDICTOR, latched at construction: a Predictor
+        # built with mesh=None while a compute mesh is registered (e.g. the
+        # periodic EvalCallback inside `tools/train.py --data-parallel`)
+        # adopts THAT mesh — its programs would trace with the registry's
+        # shard_map wraps anyway, so the binding makes it explicit, keyed
+        # into the jit cache, and re-registered before every detect call.
+        # Two Predictors with different meshes in one process are therefore
+        # safe: each call re-latches its own mesh before dispatch/trace.
+        from transparent_object_detection_tpu.ops.shard import get_compute_mesh
+
+        self._effective_mesh = mesh if mesh is not None else get_compute_mesh()[0]
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -127,18 +146,87 @@ class Predictor:
 
             set_compute_mesh(mesh)
             self._batch_sharding = NamedSharding(mesh, P("data"))
-            variables = jax.device_put(variables, NamedSharding(mesh, P()))
+            sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            tp = sizes.get("model", 1)
+            if tp > 1:
+                from transparent_object_detection_tpu.parallel.tp import (
+                    canonicalize_qkv_for_tp,
+                    tp_shardings,
+                )
+
+                # The Predictor's own copy of the weights: qkv columns
+                # permuted to the rank-major layout the TP TEB consumes,
+                # TEB projections + big kernels placed SHARDED over the
+                # model axis, everything else replicated. The caller's
+                # variables are untouched (canonical layout).
+                self.model = model = model.clone(tp_serving=True)
+                params = canonicalize_qkv_for_tp(variables["params"], tp)
+                if model.dtype != jnp.float32:
+                    # Store kernels at the compute width. The compiled bf16
+                    # program casts every fp32 kernel to bf16 at use anyway,
+                    # so pre-casting changes NOTHING numerically for the
+                    # bf16 matmuls/convs while halving stored weight HBM —
+                    # half of what makes phi='l' fit (docs/ROADMAP.md HBM
+                    # table). The int8 kernels then quantize from the
+                    # bf16-rounded weights (same drift class, covered by the
+                    # hard-set drift gate). LN/BN/bias vectors stay fp32.
+                    def _cast_kernel(path, leaf):
+                        names = [q.key for q in path if hasattr(q, "key")]
+                        if names and names[-1] == "kernel" and leaf.ndim >= 2:
+                            return leaf.astype(model.dtype)
+                        return leaf
+
+                    params = jax.tree_util.tree_map_with_path(
+                        _cast_kernel, params
+                    )
+                variables = dict(variables, params=params)
+                repl = NamedSharding(mesh, P())
+                variables = {
+                    coll: jax.tree_util.tree_map(
+                        jax.device_put, tree, tp_shardings(tree, mesh)
+                    ) if coll == "params" else jax.device_put(tree, repl)
+                    for coll, tree in variables.items()
+                }
+            else:
+                variables = jax.device_put(variables, NamedSharding(mesh, P()))
         else:
             self._batch_sharding = None
         self.variables = variables
         self._detect = _jitted(
-            detect_step, model, model_cfg.input_shape, self.predict_cfg, mesh
+            detect_step, model, model_cfg.input_shape, self.predict_cfg,
+            self._effective_mesh,
         )
         self._letterbox_detect = _jitted(
-            _letterbox_detect_step, model, model_cfg.input_shape, self.predict_cfg, mesh
+            _letterbox_detect_step, model, model_cfg.input_shape,
+            self.predict_cfg, self._effective_mesh,
         )
 
+    @property
+    def data_shards(self) -> int:
+        """Size of the data axis this Predictor's programs shard over (1
+        with no mesh). Batch sizes must be a multiple of this — callers
+        that batch arbitrary-length lists (EvalCallback) pad to it."""
+        if self._effective_mesh is None:
+            return 1
+        sizes = dict(
+            zip(self._effective_mesh.axis_names, self._effective_mesh.devices.shape)
+        )
+        return sizes.get("data", 1)
+
     def _place(self, *arrays):
+        # re-latch this Predictor's mesh: traces and shard_map wraps consult
+        # the process-global registry, and another Predictor/trainer may
+        # have registered a different mesh since construction
+        from transparent_object_detection_tpu.ops.shard import set_compute_mesh
+
+        set_compute_mesh(self._effective_mesh)
+        n = self.data_shards
+        if n > 1 and arrays and arrays[0].shape[0] % n:
+            raise ValueError(
+                f"batch size {arrays[0].shape[0]} does not divide the mesh "
+                f"data axis ({n}); pad the batch to a multiple of "
+                f"Predictor.data_shards"
+            )
         if self._batch_sharding is None:
             return arrays
         return tuple(jax.device_put(a, self._batch_sharding) for a in arrays)
@@ -196,6 +284,9 @@ class Predictor:
     def class_activation_map(self, images: Array) -> Array:
         """Max class-probability heatmap per image at stride-8 resolution
         (reference predict.py 'heatmap' mode capability)."""
+        from transparent_object_detection_tpu.ops.shard import set_compute_mesh
+
+        set_compute_mesh(self._effective_mesh)
 
         @jax.jit
         def _heat(variables, x):

@@ -514,6 +514,14 @@ class TransformerEncoderBlock(nn.Module):
     int8_dense: bool = False
     # int8 flash attention kernel at eval time (ops/attention_int8.py)
     int8_attn: bool = False
+    # Tensor-parallel serving: the whole TEB body runs as ONE shard_map over
+    # a (data, model) mesh — Megatron column/row-parallel projections, local
+    # per-head-group attention, psum on the row-parallel outputs
+    # (ops/teb_tp.py). Requires TP-CANONICALIZED qkv weights; only reachable
+    # through inference.Predictor(mesh with 'model' axis) / FOCUS.serve_mesh.
+    # This is how phi='l'/'x' (whose weights+activations exceed one chip's
+    # HBM) serve at all.
+    tp_serving: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -526,6 +534,34 @@ class TransformerEncoderBlock(nn.Module):
         tokens = x.reshape(b, n, c)
         scale = 1.0 / math.sqrt(dh)
         int8_attn = self.int8_attn and not train
+
+        if self.tp_serving and not train:
+            from transparent_object_detection_tpu.ops.teb_tp import (
+                teb_tp_forward,
+            )
+
+            ln1_s, ln1_b = _LNParams(c, name="norm1")()
+            ln2_s, ln2_b = _LNParams(c, name="norm2")()
+            qkv_w, qkv_b = _DenseParams(3 * c, name="qkv")(c)
+            ao_w, ao_b = _DenseParams(c, name="attn_out")(c)
+            m1_w, m1_b = _DenseParams(c * self.mlp_ratio, name="mlp1")(c)
+            m2_w, m2_b = _DenseParams(c, name="mlp2")(c * self.mlp_ratio)
+            tokens = teb_tp_forward(
+                tokens,
+                dict(
+                    ln1_s=ln1_s, ln1_b=ln1_b, ln2_s=ln2_s, ln2_b=ln2_b,
+                    qkv_w=qkv_w, qkv_b=qkv_b, ao_w=ao_w, ao_b=ao_b,
+                    m1_w=m1_w, m1_b=m1_b, m2_w=m2_w, m2_b=m2_b,
+                ),
+                heads=heads,
+                mlp_ratio=self.mlp_ratio,
+                dtype=self.dtype,
+                norm_dtype=self.norm_dtype,
+                attention_impl=self.attention_impl,
+                int8_dense=self.int8_dense and not train,
+                int8_attn=int8_attn,
+            )
+            return tokens.reshape(b, h, w, c)
 
         if self.int8_dense and not train:
             # Serving-only (mirrors the int8_attn gating above): under
@@ -562,9 +598,24 @@ class TransformerEncoderBlock(nn.Module):
             # store per m-tile) doesn't amortize — batch-1 640² serving
             # (6,400 rows) measured 51.9 ms vs 48.0 without the handoff,
             # while batch-32 (204,800 rows) measured the handoff +0.7 imgs/s.
+            # w4a4 mlp1 prototype (VERDICT r4 #3): int4 weights + per-row
+            # dynamic int4 activations on the mlp1 projection only — the
+            # i4 x i4 MXU dot measured +40% over int8 on the mlp1 shape
+            # class (benchmarks/bench_int4.py). Accuracy is MEASURED, not
+            # assumed: the hard-set drift gate (E2E_HARD=1 benchmarks/
+            # validate_e2e.py) scores this path. Default off pending that
+            # measurement; it bypasses the LN handoff (it quantizes raw
+            # tokens through its own LN prologue).
+            w4a4_mlp1 = (
+                os.environ.get("TOD_W4A4_MLP1", "0") == "1"
+                and (b * n) % 128 == 0
+                and c % 128 == 0
+                and (c * self.mlp_ratio) % 128 == 0
+            )
             min_rows = int(os.environ.get("TOD_LN_HANDOFF_MIN_ROWS", "51200"))
             ln_handoff = (
-                os.environ.get("TOD_LN_HANDOFF", "1") == "1"
+                not w4a4_mlp1
+                and os.environ.get("TOD_LN_HANDOFF", "1") == "1"
                 and b * n >= min_rows
                 and ln_quant_out_supported(b * n, c, c, residual=True)
             )
@@ -674,6 +725,15 @@ class TransformerEncoderBlock(nn.Module):
                     None, m1_w, bias=m1_b, ln_scale=ln2_s, ln_bias=ln2_b,
                     act="gelu", out_dtype=self.dtype, quant_out=True,
                     x_quant=z_in, x_quant_normalized=True,
+                )
+            elif w4a4_mlp1:
+                from transparent_object_detection_tpu.ops.quant_matmul import (
+                    quant_matmul_w4a4,
+                )
+
+                z8 = quant_matmul_w4a4(
+                    tokens, m1_w, bias=m1_b, ln_scale=ln2_s, ln_bias=ln2_b,
+                    act="gelu", out_dtype=self.dtype, quant_out=True,
                 )
             else:
                 z8 = quant_matmul(

@@ -42,6 +42,10 @@ class FocusModel(nn.Module):
     # fused int8 path for the big 1x1 convs (C2f/SPPF cv1+cv2, FusionNode
     # reduce) — serving only; bf16-trained params load unchanged
     int8_1x1: bool = False
+    # tensor-parallel serving of the neck TEBs over a (data, model) mesh
+    # (ops/teb_tp.py) — requires TP-canonicalized weights; set only by
+    # inference.Predictor. This is the phi='l'/'x' serving path.
+    tp_serving: bool = False
 
     @property
     def head_filters(self) -> Tuple[int, int, int]:
@@ -76,6 +80,7 @@ class FocusModel(nn.Module):
             int8_dense=self.int8_dense,
             int8_attn=self.int8_attn,
             int8_1x1=self.int8_1x1,
+            tp_serving=self.tp_serving,
             remat=self.remat,
             name="neck",
         )(feats, train)

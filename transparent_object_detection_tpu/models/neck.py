@@ -45,13 +45,15 @@ class FusionNode(nn.Module):
     int8_attn: bool = False
     # fused int8 Pallas path for the reducing 1x1 conv (serving only)
     int8_1x1: bool = False
+    # tensor-parallel TEB serving over a (data, model) mesh (ops/teb_tp.py)
+    tp_serving: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = TransformerEncoderBlock(
             num_heads=self.num_heads, dtype=self.dtype, norm_dtype=self.norm_dtype,
             lane_align_heads=self.lane_align_heads, int8_dense=self.int8_dense,
-            int8_attn=self.int8_attn,
+            int8_attn=self.int8_attn, tp_serving=self.tp_serving,
             name="teb",
         )(x, train)
         x = ConvBNAct(
@@ -71,6 +73,7 @@ class Neck(nn.Module):
     int8_dense: bool = False
     int8_attn: bool = False
     int8_1x1: bool = False
+    tp_serving: bool = False
     # Rematerialize fusion nodes in the backward pass: the TEBs hold the
     # largest activations in the network (up to 2048ch x 80x80 tokens); remat
     # trades ~1/3 extra neck FLOPs for a large HBM saving during training
@@ -90,6 +93,7 @@ class Neck(nn.Module):
             node_cls, norm_dtype=self.norm_dtype,
             lane_align_heads=self.lane_align_heads, int8_dense=self.int8_dense,
             int8_attn=self.int8_attn, int8_1x1=self.int8_1x1,
+            tp_serving=self.tp_serving,
         )
 
         # top-down

@@ -398,13 +398,20 @@ def ln_quant_out_supported(m: int, k: int, n: int, residual: bool = True) -> boo
     ) is not None
 
 
-def _quant_rows_kernel(x_ref, xq_ref, xs_ref, *, ln: bool, ln_eps: float):
+def _quant_rows_kernel(
+    x_ref, xq_ref, xs_ref, *, ln: bool, ln_eps: float, qmax: float = 127.0
+):
     """One-pass [LN-normalize +] per-row dynamic int8 quantization.
 
     Emits the int8 payload and the per-row dequant scale (with rsqrt folded
     in, same algebra as _qmm_kernel's prologue) for the SPLIT path: the dot
     itself then runs as a plain XLA int8 dot_general, which schedules the
-    MXU better than the fused kernel on wide-N shapes (see _prefer_split)."""
+    MXU better than the fused kernel on wide-N shapes (see _prefer_split).
+
+    qmax=7 produces an int4-RANGE payload (still stored int8; the caller
+    narrows with .astype(int4) fused into its dot program) for the w4a4
+    path — the v5e MXU runs i4 x i4 dots up to +40% over int8 on the mlp1
+    shape class (benchmarks/bench_int4.py calibration)."""
     xf = x_ref[...].astype(jnp.float32)
     if ln:
         mu = jnp.mean(xf, axis=1, keepdims=True)
@@ -416,8 +423,8 @@ def _quant_rows_kernel(x_ref, xq_ref, xs_ref, *, ln: bool, ln_eps: float):
         d = xf
         rstd = 1.0
     amax = jnp.maximum(jnp.max(jnp.abs(d), axis=1, keepdims=True), 1e-12)
-    xq_ref[...] = jnp.round(d * (127.0 / amax)).astype(jnp.int8)
-    xs_ref[...] = amax * (1.0 / 127.0) * rstd
+    xq_ref[...] = jnp.round(d * (qmax / amax)).astype(jnp.int8)
+    xs_ref[...] = amax * (1.0 / qmax) * rstd
 
 
 def _prefer_split(m: int, k: int, n: int, ln: bool, act, residual) -> bool:
@@ -584,6 +591,165 @@ def _qmm_call(
         # to charge int8 work against the int8 MXU peak.
         interpret=INTERPRET,
     )(*operands)
+
+
+def quantize_weights4(kernel: Array) -> Tuple[Array, Array]:
+    """fp32 (K, N) kernel -> (int4 (K, N), f32 (1, N) per-channel scale)."""
+    w_scale = jnp.max(jnp.abs(kernel), axis=0, keepdims=True) / 7.0
+    wq = jnp.round(kernel / jnp.maximum(w_scale, 1e-12)).astype(jnp.int4)
+    return wq, w_scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "ln", "act", "ln_eps", "quant_out")
+)
+def _w4a4_call(x2d, wq4, w_scale, bias, *, out_dtype, ln, act, ln_eps,
+               quant_out):
+    """w4a4 split path: Pallas one-pass [LN+] per-row INT4-RANGE quantize,
+    then a raw XLA i4 x i4 dot (the +40% MXU rate on mlp1-class shapes —
+    benchmarks/bench_int4.py) with the dequant/bias/act epilogue and the
+    int8->int4 narrowing fused by XLA into the same program (int4 arrays
+    cannot cross a jit boundary on this backend). With quant_out, the
+    output re-quantizes per-row to the int8 handoff contract mlp2 consumes
+    (x_quant, groups=1)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x2d.shape
+    bq = 512 if k <= 2048 else (256 if k <= 6144 else 128)
+    while m % bq:
+        bq //= 2
+    xq, xs = pl.pallas_call(
+        functools.partial(_quant_rows_kernel, ln=ln, ln_eps=ln_eps, qmax=7.0),
+        grid=(m // bq,),
+        in_specs=[pl.BlockSpec((bq, k), lambda mi: (mi, 0))],
+        out_specs=[
+            pl.BlockSpec((bq, k), lambda mi: (mi, 0)),
+            pl.BlockSpec((bq, 1), lambda mi: (mi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), jnp.int8),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=INTERPRET,
+    )(x2d)
+    acc = jax.lax.dot_general(
+        xq.astype(jnp.int4), wq4, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * xs * w_scale
+    if bias is not None:
+        out = out + bias.reshape(1, -1)
+    if act == "gelu":
+        out = jax.nn.gelu(out)
+    elif act == "silu":
+        out = out * jax.nn.sigmoid(out)
+    if quant_out:
+        amax = jnp.maximum(jnp.max(jnp.abs(out), axis=1, keepdims=True), 1e-30)
+        payload = jnp.round(out * (127.0 / amax)).astype(jnp.int8)
+        return payload, (amax * (1.0 / 127.0)).astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+def w4a4_supported(m: int, k: int, n: int) -> bool:
+    """True when quant_matmul_w4a4 runs its real TPU program on these dims
+    (int4 dots need a TPU backend; the CPU twin exists only for tests)."""
+    return (
+        jax.default_backend() in ("tpu", "axon")
+        and k % 128 == 0 and n % 128 == 0 and m % 128 == 0
+    )
+
+
+def quant_matmul_w4a4(
+    x: Array,
+    w: Array,
+    bias: Optional[Array] = None,
+    ln_scale: Optional[Array] = None,
+    ln_bias: Optional[Array] = None,
+    ln_eps: float = 1e-6,
+    act: Optional[str] = None,
+    out_dtype=jnp.bfloat16,
+    quant_out: bool = False,
+):
+    """[LayerNorm ->] dynamic per-row INT4 quant -> i4 x i4 MXU matmul ->
+    [bias/act] [-> int8 quant_out handoff].
+
+    The w4a4 prototype for the mlp1-class shapes (VERDICT r4 #3): int4
+    weights per-output-channel, int4 activations per-row dynamic. The
+    i4 x i4 dot measured +40% over i8 x i8 on 204800x1536x6144
+    (benchmarks/bench_int4.py); the accuracy cost of 4-bit activations is
+    measured by the hard-set drift gate (E2E_HARD=1 benchmarks/
+    validate_e2e.py), NOT assumed. Gated per-call by the caller
+    (TOD_W4A4_MLP1 in the TEB); everything else stays int8.
+
+    Off-TPU this runs an identical-math twin with int8 containers holding
+    the [-7, 7] values (bit-identical accumulation)."""
+    ln = ln_scale is not None
+    if ln:
+        w, bias = _fold_ln(w, bias, ln_scale, ln_bias)
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    k, n = w.shape
+    x2d = x.reshape(m, k)
+    if w4a4_supported(m, k, n):
+        from transparent_object_detection_tpu.ops.attention import log_custom_flops
+
+        wq4, ws4 = quantize_weights4(w)
+        # charge as int8-class MXU work (there is no separate int4 peak on
+        # the sheet; the de facto calibration handles the real rate)
+        log_custom_flops(2.0 * m * k * n, int8=True)
+        out = _w4a4_call(
+            x2d, wq4, ws4, bias, out_dtype=out_dtype, ln=ln, act=act,
+            ln_eps=ln_eps, quant_out=quant_out,
+        )
+    else:
+        # reference twin: int8 containers holding [-7, 7] values — same
+        # accumulation math as the TPU i4 x i4 program, runs anywhere
+        ws4 = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 7.0
+        wq = jnp.round(w / jnp.maximum(ws4, 1e-12)).astype(jnp.int8)
+        xf = x2d.astype(jnp.float32)
+        if ln:
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            m2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            d = xf - mu
+            rstd = jax.lax.rsqrt(jnp.maximum(m2 - mu * mu, 0.0) + ln_eps)
+        else:
+            d = xf
+            rstd = 1.0
+        amax = jnp.maximum(jnp.max(jnp.abs(d), axis=-1, keepdims=True), 1e-12)
+        xq = jnp.round(d * (7.0 / amax)).astype(jnp.int8)
+        xs = amax * (1.0 / 7.0) * rstd
+        acc = jax.lax.dot_general(
+            xq, wq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        val = acc.astype(jnp.float32) * xs * ws4
+        if bias is not None:
+            val = val + bias.reshape(1, -1)
+        if act == "gelu":
+            val = jax.nn.gelu(val)
+        elif act == "silu":
+            val = val * jax.nn.sigmoid(val)
+        if quant_out:
+            amax_o = jnp.maximum(
+                jnp.max(jnp.abs(val), axis=-1, keepdims=True), 1e-30
+            )
+            out = (
+                jnp.round(val * (127.0 / amax_o)).astype(jnp.int8),
+                (amax_o * (1.0 / 127.0)).astype(jnp.float32),
+            )
+        else:
+            out = val.astype(out_dtype)
+    if quant_out:
+        payload, scales = out
+        return (
+            payload.reshape(*x.shape[:-1], n),
+            scales.reshape(*x.shape[:-1], 1),
+        )
+    return out.reshape(*x.shape[:-1], n)
 
 
 def dequantize(payload: Array, scales: Array, dtype=jnp.bfloat16) -> Array:

@@ -20,10 +20,27 @@ aggregate mesh throughput is chips x per-chip.
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Tuple
 
 _MESH = None
 _AXIS: str = "data"
+
+
+@contextlib.contextmanager
+def local_compute():
+    """Trace-time escape hatch: code traced inside this context sees NO
+    registered mesh, so the kernel dispatchers emit plain (per-shard local)
+    programs. Used by hand-written shard_map regions (ops/teb_tp.py) whose
+    local functions call mesh-consulting entry points like quant_matmul /
+    attention — without this they would try to nest a second shard_map."""
+    global _MESH
+    saved = _MESH
+    _MESH = None
+    try:
+        yield
+    finally:
+        _MESH = saved
 
 
 def set_compute_mesh(mesh, axis_name: str = "data") -> None:
