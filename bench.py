@@ -166,6 +166,21 @@ def main() -> None:
         record["batch1_latency_ms"] = round(
             (time.perf_counter() - t0) / lat_iters * 1e3, 2
         )
+        if flops_per_batch > 0:
+            # Batch-1 de facto ceiling (the latency analog of
+            # defacto_ceiling_imgs_per_sec): the same per-image FLOP mix
+            # charged at the raw rates THIS CHIP reaches on the batch-1
+            # shapes — 6,400-row TEB dots and batch-1 convs run far below
+            # their batch-32 rates (calibration: QMM_BATCH=1
+            # benchmarks/bench_qmm.py xladot/bf16 + batch-1 stage
+            # breakdown; see docs/ROADMAP.md round-4 table).
+            raw_bf16_b1 = float(os.environ.get("BENCH_RAW_BF16_TFLOPS_B1", "95"))
+            raw_int8_b1 = float(os.environ.get("BENCH_RAW_INT8_TOPS_B1", "120"))
+            sol_b1 = tflop_per_img / raw_bf16_b1 + top_per_img / raw_int8_b1
+            record["batch1_defacto_ceiling_ms"] = round(sol_b1 * 1e3, 2)
+            record["batch1_defacto_mfu"] = round(
+                sol_b1 * 1e3 / record["batch1_latency_ms"], 4
+            )
     # Aggregate data-parallel projection (serving has no cross-image
     # communication; FOCUS.serve_mesh shards the batch over a 'data' mesh
     # and the Pallas kernels run under shard_map). The projection is a

@@ -11,6 +11,13 @@ same (M, K, N) TEB projection shapes (phi='s', batch 32):
   QMM_MODE=xla      XLA int8 dot_general + XLA dequant (compiler baseline)
   QMM_MODE=xladot   XLA int8 dot_general alone on PRE-quantized int8 args —
                     the raw MXU int8 rate XLA can reach on this shape
+  QMM_MODE=xlafull  XLA int8 dot + the FULL production epilogue (per-row
+                    dequant, bias, act, residual, bf16 store) on
+                    pre-quantized args — the honest raw-XLA ceiling for the
+                    production direct-consumer semantics (r4 VERDICT #4)
+  QMM_MODE=direct   the production groups==1 x_quant direct consumer
+                    (_qmm_call), layout overridable: QMM_MINNER=0/1,
+                    QMM_BM, QMM_BN — the mlp2/attn-out seam sweep harness
   QMM_MODE=bf16     XLA bf16 matmul (the non-quantized reference)
 
 Env: QMM_SHAPES=h2.qkv,h2.ao,... (default: the 6 dominant shapes),
@@ -108,6 +115,14 @@ def main():
     iters = int(os.environ.get("QMM_ITERS", "10"))
     sel = os.environ.get("QMM_SHAPES")
     shapes = SHAPES if not sel else [s for s in SHAPES if s[0] in sel.split(",")]
+    # QMM_BATCH rescales the M dim (SHAPES are batch-32 production shapes;
+    # QMM_BATCH=1 gives the batch-1 latency shapes — 6400 rows at P3)
+    qb = int(os.environ.get("QMM_BATCH", "32"))
+    if qb != 32:
+        shapes = [
+            (tag, m // 32 * qb, k, n, ln, act, residual)
+            for tag, m, k, n, ln, act, residual in shapes
+        ]
 
     rng = np.random.default_rng(0)
     for tag, m, k, n, ln, act, residual in shapes:
@@ -205,6 +220,67 @@ def main():
 
             f = jax.jit(xla_dot)
             t = timed(f, xq, wq, iters=iters)
+        elif mode in ("xlafull", "direct"):
+            # Both modes time the PRODUCTION direct-consumer semantics
+            # (pre-quantized int8 x + per-row scales -> dot -> rank-1
+            # dequant -> bias [-> act] [-> +residual] -> bf16), differing
+            # only in who runs the dot: XLA's own schedule vs _qmm_call.
+            from transparent_object_detection_tpu.ops.quant_matmul import (
+                _pick_layout_prequant,
+                _qmm_call,
+            )
+
+            wq, ws = quantize_weights(w)
+
+            @jax.jit
+            def _prep(x):
+                xf = x.astype(jnp.float32)
+                xs = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
+                return jnp.round(xf / xs).astype(jnp.int8), xs
+
+            xq, xs = _prep(x)
+            if mode == "xlafull":
+
+                def xla_full(xq, xs, wq, ws, res=None):
+                    acc = jax.lax.dot_general(
+                        xq, wq, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    out = acc.astype(jnp.float32) * xs * ws + bias
+                    if act == "gelu":
+                        out = jax.nn.gelu(out)
+                    if res is not None:
+                        out = out + res.astype(jnp.float32)
+                    return out.astype(jnp.bfloat16)
+
+                f = jax.jit(xla_full)
+                t = (
+                    timed(f, xq, xs, wq, ws, res, iters=iters)
+                    if residual
+                    else timed(f, xq, xs, wq, ws, iters=iters)
+                )
+            else:
+                layout = _pick_layout_prequant(m, k, n, 1, residual)
+                assert layout, (tag, m, k, n)
+                m_inner, bm, bn = layout
+                m_inner = bool(int(os.environ.get("QMM_MINNER", int(m_inner))))
+                bm = int(os.environ.get("QMM_BM", bm))
+                bn = int(os.environ.get("QMM_BN", bn))
+                print(
+                    json.dumps(
+                        {"tag": tag, "layout": [m_inner, bm, bn]}
+                    ),
+                    flush=True,
+                )
+                f = functools.partial(
+                    _qmm_call, out_dtype=jnp.bfloat16, bm=bm, bn=bn,
+                    ln=False, act=act, residual=residual, ln_eps=1e-6,
+                    groups=1,
+                )
+                t = timed(
+                    f, xq, xs, wq, ws, bias, res if residual else None,
+                    iters=iters,
+                )
         elif mode == "pquant":
             # Pallas one-pass [LN+]quant kernel -> XLA raw int8 dot with the
             # rank-1 dequant/bias/act fused by XLA into the dot consumer.

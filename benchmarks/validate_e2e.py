@@ -109,10 +109,15 @@ def main(steps: int = 400, size: int = None):
     # shifts; the hard set scores ~0.85-0.9 bf16, so drift has room to show
     # (VERDICT r3 missing #2). The int8 gate then also covers AP@0.5:0.95.
     hard = os.environ.get("E2E_HARD", "0") == "1"
+    # E2E_WIDTH widens the model (default 16). The w4a4 drift measurement
+    # needs >= 32: the TEB w4a4 row gate requires c % 128 == 0
+    # (models/blocks.py), and at base_channels=16 no TEB width qualifies —
+    # TOD_W4A4_MLP1=1 would silently measure plain int8.
+    width = int(os.environ.get("E2E_WIDTH", "16"))
     mc = ModelConfig(num_classes=1, input_shape=(size, size), compute_dtype="float32")
     tc = TrainConfig(max_boxes=8, optimizer_type="adam", ema=True, weight_decay=0.0)
     model = FocusModel(
-        num_classes=1, base_channels=16, base_depth=1, deep_mul=0.5, num_heads=4,
+        num_classes=1, base_channels=width, base_depth=1, deep_mul=0.5, num_heads=4,
         dtype=jnp.float32,
     )
 
@@ -161,6 +166,7 @@ def main(steps: int = 400, size: int = None):
         out = {
             "steps": steps,
             "hard": hard,
+            "width": width,
             "final_loss": round(last, 4),
             "train_seconds": round(train_secs, 1),
             "map50": round(stats["AP50"], 4),
@@ -173,7 +179,7 @@ def main(steps: int = 400, size: int = None):
             # deploy-time quantization drift: same trained weights through the
             # int8-TEB model (parameter tree is identical by construction)
             q_model = FocusModel(
-                num_classes=1, base_channels=16, base_depth=1, deep_mul=0.5,
+                num_classes=1, base_channels=width, base_depth=1, deep_mul=0.5,
                 num_heads=4, dtype=jnp.float32, int8_dense=True, int8_attn=True,
             )
             q_cb = EvalCallback(

@@ -270,6 +270,13 @@ def _pick_blocks(
             + bm * bn * 4        # int32 accumulator
         )
 
+    import os
+
+    forced = os.environ.get("TOD_QMM_FORCE")
+    if forced:  # bench-only layout override ("bm,bn"), benchmarks/bench_qmm.py
+        fm, fn = (int(v) for v in forced.split(","))
+        if m % fm == 0 and n % fn == 0:
+            return fm, fn
     budget = 15 * 1024 * 1024 + 512 * 1024
     # Weight-resident full-width layout (see docstring), tallest fitting
     # m-tile first: the quantize prologue runs once per m-tile and
