@@ -705,8 +705,13 @@ def quant_matmul_w4a4(
         from transparent_object_detection_tpu.ops.attention import log_custom_flops
 
         wq4, ws4 = quantize_weights4(w)
-        # charge as int8-class MXU work (there is no separate int4 peak on
-        # the sheet; the de facto calibration handles the real rate)
+        # The i4 dot is an XLA dot_general, so XLA's cost analysis already
+        # counts its 2mkn as (bf16-rate) flops — log a negative bf16
+        # correction and charge the same work as int8-class MXU ops instead
+        # (no separate int4 peak on the sheet; the de facto calibration
+        # handles the real rate). Same pattern as the split path in
+        # _qmm_dispatch.
+        log_custom_flops(-2.0 * m * k * n, int8=False)
         log_custom_flops(2.0 * m * k * n, int8=True)
         out = _w4a4_call(
             x2d, wq4, ws4, bias, out_dtype=out_dtype, ln=ln, act=act,
