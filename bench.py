@@ -158,12 +158,31 @@ def main() -> None:
         img1, shp1 = images[:1], shapes[:1]
         out = step(variables, images=img1, image_shapes=shp1)
         float(out["num_detections"].sum())
+        # Three independent 50-iter groups bound the run-to-run variance
+        # that made the round-4 39.91/44.83/46.1 ms reports unfalsifiable:
+        # batch1_latency_ms is the MEDIAN group mean, batch1_latency_spread_ms
+        # the max-min across groups. Each iter host-syncs (the production
+        # video-loop pattern, reference predict.py:154-157) — on a tunneled
+        # backend that includes the tunnel RTT, so batch1_device_ms also
+        # reports a 50-deep pipelined loop (one sync at the end): pure
+        # device rate, the number the 12.4 ms arithmetic floor compares to.
         lat_iters = 50
+        group_ms = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(lat_iters):
+                out = step(variables, images=img1, image_shapes=shp1)
+                out["num_detections"].block_until_ready()
+            group_ms.append((time.perf_counter() - t0) / lat_iters * 1e3)
+        record["batch1_latency_ms"] = round(sorted(group_ms)[1], 2)
+        record["batch1_latency_spread_ms"] = round(
+            max(group_ms) - min(group_ms), 2
+        )
         t0 = time.perf_counter()
         for _ in range(lat_iters):
             out = step(variables, images=img1, image_shapes=shp1)
-            out["num_detections"].block_until_ready()
-        record["batch1_latency_ms"] = round(
+        out["num_detections"].block_until_ready()
+        record["batch1_device_ms"] = round(
             (time.perf_counter() - t0) / lat_iters * 1e3, 2
         )
         if flops_per_batch > 0:
@@ -178,8 +197,10 @@ def main() -> None:
             raw_int8_b1 = float(os.environ.get("BENCH_RAW_INT8_TOPS_B1", "120"))
             sol_b1 = tflop_per_img / raw_bf16_b1 + top_per_img / raw_int8_b1
             record["batch1_defacto_ceiling_ms"] = round(sol_b1 * 1e3, 2)
+            # MFU against the DEVICE rate (the ceiling is device arithmetic;
+            # the synced number additionally carries host/tunnel RTT)
             record["batch1_defacto_mfu"] = round(
-                sol_b1 * 1e3 / record["batch1_latency_ms"], 4
+                sol_b1 * 1e3 / record["batch1_device_ms"], 4
             )
     # Aggregate data-parallel projection (serving has no cross-image
     # communication; FOCUS.serve_mesh shards the batch over a 'data' mesh
