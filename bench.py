@@ -39,8 +39,9 @@ def main() -> None:
     # default OFF: e2e measured 132.9 (full routing) / 137.0 (wide-K only)
     # vs 137.4+ without — XLA's conv fusion beats the per-shape kernel wins
     int8_1x1 = os.environ.get("BENCH_INT8_1X1", "0") == "1"
+    size = int(os.environ.get("BENCH_SIZE", "640"))
     cfg = ModelConfig(num_classes=1, phi=os.environ.get("BENCH_PHI", "s"),
-                      input_shape=(640, 640), compute_dtype="bfloat16",
+                      input_shape=(size, size), compute_dtype="bfloat16",
                       int8_dense=int8, int8_attn=int8 and int8_attn,
                       int8_1x1=int8 and int8_1x1)
     pred_cfg = PredictConfig(
@@ -58,8 +59,8 @@ def main() -> None:
     )
 
     key = jax.random.key(0)
-    images = jax.random.uniform(key, (batch, 640, 640, 3), dtype=jnp.float32)
-    shapes = jnp.tile(jnp.asarray([[640.0, 640.0]], jnp.float32), (batch, 1))
+    images = jax.random.uniform(key, (batch, size, size, 3), dtype=jnp.float32)
+    shapes = jnp.tile(jnp.asarray([[float(size)] * 2], jnp.float32), (batch, 1))
 
     # FLOP accounting: XLA's own cost model for the compiled program gives
     # achieved TFLOP/s and MFU vs peak (v5e bf16 = 197 TFLOP/s by default;
@@ -109,7 +110,7 @@ def main() -> None:
     imgs_per_sec = batch * iters / dt
     record = {
         "metric": (
-            f"imgs/sec/chip 640x640 batch inference (phi={cfg.phi}, "
+            f"imgs/sec/chip {size}x{size} batch inference (phi={cfg.phi}, "
             f"{('int8-TEB' + ('+int8-attn' if cfg.int8_attn else '') + '+bf16') if int8 else 'bf16'}, "
             "on-device NMS)"
         ),
@@ -178,23 +179,29 @@ def main() -> None:
         record["batch1_latency_spread_ms"] = round(
             max(group_ms) - min(group_ms), 2
         )
-        t0 = time.perf_counter()
-        for _ in range(lat_iters):
-            out = step(variables, images=img1, image_shapes=shp1)
-        out["num_detections"].block_until_ready()
-        record["batch1_device_ms"] = round(
-            (time.perf_counter() - t0) / lat_iters * 1e3, 2
-        )
+        dev_ms = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(lat_iters):
+                out = step(variables, images=img1, image_shapes=shp1)
+            float(out["num_detections"].sum())  # one value-fetch sync
+            dev_ms.append((time.perf_counter() - t0) / lat_iters * 1e3)
+        record["batch1_device_ms"] = round(sorted(dev_ms)[1], 2)
+        record["batch1_device_spread_ms"] = round(max(dev_ms) - min(dev_ms), 2)
         if flops_per_batch > 0:
             # Batch-1 de facto ceiling (the latency analog of
             # defacto_ceiling_imgs_per_sec): the same per-image FLOP mix
             # charged at the raw rates THIS CHIP reaches on the batch-1
-            # shapes — 6,400-row TEB dots and batch-1 convs run far below
-            # their batch-32 rates (calibration: QMM_BATCH=1
-            # benchmarks/bench_qmm.py xladot/bf16 + batch-1 stage
-            # breakdown; see docs/ROADMAP.md round-4 table).
+            # shapes. int8 = 236 TOPS, the ops-weighted mean of the four
+            # dominant TEB dots measured at batch 1 (QMM_BATCH=1
+            # QMM_MODE=xladot QMM_ITERS=300 benchmarks/bench_qmm.py;
+            # docs/ROADMAP.md round-5 batch-1 calibration table — depth
+            # 300 matters: at 10 iters the ~28 ms tunnel value-fetch RTT
+            # is the entire "measurement"). bf16 = 95 TFLOP/s remains an
+            # ESTIMATE (batch-1 conv regime; the bf16 microbench mode
+            # stalled repeatedly on the tunneled rig in round 5).
             raw_bf16_b1 = float(os.environ.get("BENCH_RAW_BF16_TFLOPS_B1", "95"))
-            raw_int8_b1 = float(os.environ.get("BENCH_RAW_INT8_TOPS_B1", "120"))
+            raw_int8_b1 = float(os.environ.get("BENCH_RAW_INT8_TOPS_B1", "236"))
             sol_b1 = tflop_per_img / raw_bf16_b1 + top_per_img / raw_int8_b1
             record["batch1_defacto_ceiling_ms"] = round(sol_b1 * 1e3, 2)
             # MFU against the DEVICE rate (the ceiling is device arithmetic;
@@ -202,6 +209,20 @@ def main() -> None:
             record["batch1_defacto_mfu"] = round(
                 sol_b1 * 1e3 / record["batch1_device_ms"], 4
             )
+    # Measured peak HBM (BENCH_HBM=1): the envelope cross-check value for
+    # benchmarks/hbm_budget.py — the envelope under-predicted its one r3
+    # silicon point by 7.4% (34.0 predicted vs 36.7 measured, phi='l'), so
+    # every "fits" claim needs measured points to bound the error band.
+    if os.environ.get("BENCH_HBM", "0") == "1":
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            peak = stats.get("peak_bytes_in_use") or stats.get(
+                "peak_bytes_in_use_bytes"
+            )
+            if peak:
+                record["peak_hbm_gb"] = round(peak / 2**30, 2)
+        except Exception:
+            pass
     # Aggregate data-parallel projection (serving has no cross-image
     # communication; FOCUS.serve_mesh shards the batch over a 'data' mesh
     # and the Pallas kernels run under shard_map). The projection is a

@@ -91,26 +91,41 @@ def main():
             n_imgs / (time.perf_counter() - t0), 1
         )
 
-        # worker-count scaling sweep on the cached path (DL_WORKERS, comma
-        # list). NOTE on a 1-vCPU rig this measures threading overhead, not
-        # parallel speedup — the per-core rate times available cores is what
-        # sizes a production host (a v5e-8 at ~140 imgs/s/chip serving needs
-        # ~1,120 imgs/s of feed, i.e. ~12 busy cores at the cached rate).
+        # (mode, workers) matrix on the cached path (DL_WORKERS, comma
+        # list): one JSON line per cell, cpu_count stamped, so a multi-core
+        # host has a ready-made A/B of the threaded pool vs the fork-based
+        # process pool (use_processes=True). EXPECTATION on a 1-vCPU rig:
+        # processes can only TIE threads (both serialize on the one core;
+        # processes add fork+pickle overhead) — the matrix exists so a
+        # production host can measure where processes escape the GIL. The
+        # per-core rate times available cores sizes a host (a v5e-8 at
+        # ~140 imgs/s/chip serving needs ~1,120 imgs/s of feed, i.e. ~12
+        # busy cores at the cached rate).
         workers_env = os.environ.get("DL_WORKERS")
         if workers_env:
+            ncpu = os.cpu_count()
             sweep = {}
-            for nw in [int(x) for x in workers_env.split(",")]:
-                dl_w = DataLoader(ds_c, batch_size=32, shuffle=True, num_workers=nw)
-                dl_w.set_epoch(100 + nw)  # cache already warm from above
-                next(iter(dl_w))
-                t0 = time.perf_counter()
-                n_imgs = 0
-                for _ in range(2):
-                    dl_w.set_epoch(dl_w.epoch + 1)
-                    for batch in dl_w:
-                        n_imgs += batch["image"].shape[0]
-                sweep[str(nw)] = round(n_imgs / (time.perf_counter() - t0), 1)
-            result["cached_imgs_per_sec_by_workers"] = sweep
+            for mode, use_proc in (("threads", False), ("processes", True)):
+                for nw in [int(x) for x in workers_env.split(",")]:
+                    dl_w = DataLoader(
+                        ds_c, batch_size=32, shuffle=True, num_workers=nw,
+                        use_processes=use_proc,
+                    )
+                    dl_w.set_epoch(100 + nw)  # cache already warm from above
+                    next(iter(dl_w))
+                    t0 = time.perf_counter()
+                    n_imgs = 0
+                    for _ in range(2):
+                        dl_w.set_epoch(dl_w.epoch + 1)
+                        for batch in dl_w:
+                            n_imgs += batch["image"].shape[0]
+                    rate = round(n_imgs / (time.perf_counter() - t0), 1)
+                    sweep[f"{mode}-{nw}"] = rate
+                    print(json.dumps({
+                        "mode": mode, "workers": nw, "cpu_count": ncpu,
+                        "cached_imgs_per_sec": rate,
+                    }), flush=True)
+            result["cached_imgs_per_sec_by_mode_workers"] = sweep
 
         # native fused letterbox path (uint8 batch -> float32 canvas)
         if native.available():

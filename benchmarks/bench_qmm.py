@@ -60,6 +60,39 @@ def timed(f, *a, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
+def timed_serial(f, xq, xs, *rest, iters=10):
+    """Like timed(), but the calls DEPEND on each other: a scalar from
+    call i's output folds into call i+1's row-scales (negligible traffic,
+    hard serialization, value-preserving: xs * (1 + o[0,0]*1e-30)), so the
+    device cannot overlap call i+1's prologue/DMA warmup with call i's
+    drain the way `timed`'s independent dispatches allow (QMM_SERIAL=1).
+    Models the in-model regime: TEB calls sit on a serial dependency chain
+    inside the compiled step. Dispatch stays ASYNC — a Python loop with no
+    per-iter sync and ONE value fetch at the end — so host/tunnel dispatch
+    overlaps device execution (a lax.scan wrapper would be cleaner but
+    hangs indefinitely at compile on the tunneled axon backend, even at
+    toy shapes; the same chain compiles in <1 s on CPU)."""
+    fold = jax.jit(lambda c, o: c * (1.0 + o[0, 0].astype(c.dtype) * 1e-30))
+
+    def run():
+        c = xs
+        for _ in range(iters):
+            o = f(xq, c, *rest)
+            c = fold(c, o)
+        # value fetch, not block_until_ready: on the tunneled backend the
+        # latter can return before execution (same reason bench.py
+        # fetches num_detections). One fetch RTT per iters-deep chain.
+        return float(jnp.asarray(c)[0, 0])
+
+    run()  # warm both programs
+    reps = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        reps.append(time.perf_counter() - t0)
+    return min(reps) / iters
+
+
 def _dot_kernel(x_ref, w_ref, ws_ref, o_ref, *, epilogue: bool):
     """Pre-quantized int8 dot (+ dequant epilogue) — no prologue. The x scale
     is a scalar here (vs the production per-row vector — one extra broadcast
@@ -254,14 +287,25 @@ def main():
                     return out.astype(jnp.bfloat16)
 
                 f = jax.jit(xla_full)
+                tfn = (
+                    timed_serial
+                    if os.environ.get("QMM_SERIAL", "0") == "1"
+                    else timed
+                )
                 t = (
-                    timed(f, xq, xs, wq, ws, res, iters=iters)
+                    tfn(f, xq, xs, wq, ws, res, iters=iters)
                     if residual
-                    else timed(f, xq, xs, wq, ws, iters=iters)
+                    else tfn(f, xq, xs, wq, ws, iters=iters)
                 )
             else:
                 layout = _pick_layout_prequant(m, k, n, 1, residual)
-                assert layout, (tag, m, k, n)
+                if layout is None:
+                    # below the kernel's tiling minimums — production routes
+                    # this shape to XLA (QMM_BATCH=1 h1.* rows hit this)
+                    print(json.dumps({"tag": tag, "mode": mode,
+                                      "skipped": "no kernel layout"}),
+                          flush=True)
+                    continue
                 m_inner, bm, bn = layout
                 m_inner = bool(int(os.environ.get("QMM_MINNER", int(m_inner))))
                 bm = int(os.environ.get("QMM_BM", bm))
@@ -277,7 +321,12 @@ def main():
                     ln=False, act=act, residual=residual, ln_eps=1e-6,
                     groups=1,
                 )
-                t = timed(
+                tfn = (
+                    timed_serial
+                    if os.environ.get("QMM_SERIAL", "0") == "1"
+                    else timed
+                )
+                t = tfn(
                     f, xq, xs, wq, ws, bias, res if residual else None,
                     iters=iters,
                 )
@@ -370,16 +419,14 @@ def main():
         else:
             raise SystemExit(f"unknown QMM_MODE {mode}")
 
-        print(
-            json.dumps(
-                {
-                    "tag": tag, "mode": mode, "m": m, "k": k, "n": n,
-                    "ms": round(t * 1e3, 3),
-                    "tops": round(tops / t / 1e12, 1),
-                }
-            ),
-            flush=True,
-        )
+        rec = {
+            "tag": tag, "mode": mode, "m": m, "k": k, "n": n,
+            "ms": round(t * 1e3, 3),
+            "tops": round(tops / t / 1e12, 1),
+        }
+        if os.environ.get("QMM_SERIAL", "0") == "1":
+            rec["serial"] = True
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
