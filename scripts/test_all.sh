@@ -2,8 +2,10 @@
 # Full suite in the documented batch split (README "Tests"). The slow
 # modules build whole models and jit training steps; a single-process run
 # exceeds 10 minutes on a 1-vCPU rig, so they run as four bounded batches
-# after the fast core. Wall-clock on 1 vCPU: ~25-35 min cold, substantially
-# less with a warm XLA persistent cache or more cores.
+# after the fast core. Measured on 1 vCPU with a warm XLA persistent cache
+# (round 5, 278 tests): fast 6:41 + batches 5:52 / 7:49 / 17:18 (includes
+# the full dryrun_multichip) / 1:16 + slow-marked strays 0:19 — ~39 min
+# total; a cold cache adds a few minutes, more cores scale it down.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -15,4 +17,7 @@ python -m pytest tests/test_train.py tests/test_parity_reference.py \
 python -m pytest tests/test_parallel.py tests/test_tp.py \
     tests/test_attention_mesh.py tests/test_focus_import.py -q
 python -m pytest tests/test_graft_entry.py -q
+# slow-marked strays outside the batch modules (multi-process bootstrap,
+# COCOeval oracle) — the fast core deselects them, so run them here
+python -m pytest tests/test_distributed.py tests/test_coco_oracle.py -q -m slow
 echo "ALL TEST BATCHES GREEN"

@@ -1,8 +1,8 @@
 #!/usr/bin/env bash
 # Fast CI suite: every module NOT marked `slow` (pure-fn core — geometry,
 # loss, assigner, NMS, eval protocol, data pipeline, config, kernels in
-# interpret mode). Measured ~7 min cold / ~4 min with a warm XLA persistent
-# cache on a 1-vCPU rig; scales down with cores.
+# interpret mode). Measured (round 5, 200 tests): 5:28-6:24 on 1 vCPU with
+# a warm XLA persistent cache; ~7 min cold; scales down with cores.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 exec python -m pytest tests/ -q -m "not slow" "$@"

@@ -29,9 +29,10 @@ import pytest  # noqa: E402
 # Modules dominated by whole-model builds, jitted training steps, or the
 # Pallas interpreter — minutes each on a 1-vCPU rig. `pytest -m "not slow"`
 # runs the pure-fn core suite (geometry/loss/assigner/NMS/eval/data/config);
-# measured ~7 min cold / ~4 min with a warm XLA persistent cache on 1 vCPU
-# (scripts/test_fast.sh). The full suite needs the batch split encoded in
-# scripts/test_all.sh — a single process exceeds a 10-minute window here.
+# measured 5:28-6:24 with a warm XLA persistent cache / ~7 min cold on
+# 1 vCPU (round 5; scripts/test_fast.sh). The full suite needs the batch
+# split encoded in scripts/test_all.sh — a single process exceeds a
+# 10-minute window here.
 _SLOW_MODULES = {
     "test_api",
     "test_attention_mesh",
