@@ -73,6 +73,7 @@ def main() -> None:
     peak_int8_tops = float(os.environ.get("BENCH_PEAK_INT8_TOPS", str(2 * peak_tflops)))
     flops_per_batch = -1.0
     int8_ops_per_batch = 0.0
+    compiled = None
     try:
         from transparent_object_detection_tpu.ops.attention import (
             start_flop_log,
@@ -86,7 +87,8 @@ def main() -> None:
         log = stop_flop_log()
         flash_flops = sum(r["flops"] for r in log if not r.get("int8"))
         int8_ops_per_batch = sum(r["flops"] for r in log if r.get("int8"))
-        cost = lowered.compile().cost_analysis()
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         xla_flops = float(cost.get("flops", 0.0))
@@ -216,13 +218,35 @@ def main() -> None:
     if os.environ.get("BENCH_HBM", "0") == "1":
         try:
             stats = jax.local_devices()[0].memory_stats()
-            peak = stats.get("peak_bytes_in_use") or stats.get(
+            peak = (stats or {}).get("peak_bytes_in_use") or (stats or {}).get(
                 "peak_bytes_in_use_bytes"
             )
             if peak:
                 record["peak_hbm_gb"] = round(peak / 2**30, 2)
         except Exception:
             pass
+        # The tunneled axon backend reports no allocator stats
+        # (memory_stats() is None) — fall back to the COMPILER's own memory
+        # assignment for the serving program: arguments (weights + batch) +
+        # outputs + temp buffers. This is the number the TPU runtime
+        # actually reserves for the executable, so it is the right
+        # measured-vs-envelope comparison point for hbm_budget.py (it is
+        # what an OOM would be raised against), just missing transient
+        # runtime overheads the allocator stats would add.
+        if "peak_hbm_gb" not in record and compiled is not None:
+            try:
+                ma = compiled.memory_analysis()
+                tot = max(
+                    ma.argument_size_in_bytes
+                    + ma.output_size_in_bytes
+                    + ma.temp_size_in_bytes
+                    - ma.alias_size_in_bytes,
+                    ma.peak_memory_in_bytes,
+                )
+                record["peak_hbm_gb"] = round(tot / 2**30, 2)
+                record["peak_hbm_source"] = "compiled.memory_analysis"
+            except Exception:
+                pass
     # Aggregate data-parallel projection (serving has no cross-image
     # communication; FOCUS.serve_mesh shards the batch over a 'data' mesh
     # and the Pallas kernels run under shard_map). The projection is a

@@ -9,8 +9,26 @@ parallel/tp.py + ops/teb_tp.py) and everything else (replicated); the
 activation peak is estimated from the largest TEB's live set under the
 Megatron sharding (tokens + residual full-width, qkv/gelu intermediates at
 1/tp width) plus the backbone's peak feature map — an upper-bound envelope,
-not a compiler simulation (XLA's actual liveness is below it; the single-chip
-phi='s' prediction is validated against the measured program).
+not a compiler simulation.
+
+Measured-vs-envelope (the envelope's observed error band, both points
+single-chip 640² int8 serving on v5e silicon):
+
+  phi='l' batch 4:  predicted 34.0 GB, measured 36.7 GB (allocator OOM
+                    report, r3)            -> envelope −7.4% UNDER
+  phi='m' batch 16: predicted 10.9 GB, measured 11.15 GB (compiler buffer
+                    assignment: BENCH_PHI=m BENCH_BATCH=16 BENCH_HBM=1
+                    bench.py, peak_hbm_source=compiled.memory_analysis, r5)
+                                           -> envelope −2.2% UNDER
+  phi='m' batch 32: predicted 16.76 GB (> 15.75 chip) — and silicon indeed
+                    OOMs (README model-scale sweep note), sign agrees.
+
+So treat every "fits" verdict with ≤8% headroom as provisional: the
+phi='x' tp=8 claim (13.0 GB vs a 14.18 GB limit = 90% of the 15.75 GB
+chip, leaving the usual ~10% runtime/fragmentation reserve) survives
+the worst observed error (13.0 x 1.074 = 14.0 GB) with 1.3% to spare —
+but nothing smaller. The two measured points use different accounting
+(allocator peak vs buffer assignment); the band conservatively spans both.
 
 Usage: python benchmarks/hbm_budget.py [phi ...]   (default: s m l x)
 Env: HBM_BATCH (default 4), HBM_SIZE (default 640), HBM_GB (chip HBM, 15.75).
